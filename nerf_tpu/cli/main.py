@@ -1,0 +1,270 @@
+"""CLI entry points: train -> benchmark pipeline, render, compare.
+
+Capability parity with reference ``main.py`` (train/benchmark orchestration,
+``main.py:198-266``) and ``compare_renderers.py`` (side-by-side engine
+comparison grid). Subcommands:
+
+    nerf-tpu train      --data_dir D --epochs N [--resume]
+    nerf-tpu benchmark  --checkpoint C [--resolutions ...] [--samples ...]
+    nerf-tpu render     --weights {bmild|PATH} --width W --height H --samples S
+    nerf-tpu compare    --checkpoint C [--size 128]
+    nerf-tpu pipeline   --data_dir D --epochs N     # train then benchmark
+
+The reference's single-script flag set (``--epochs --skip_training
+--checkpoint --benchmark_only``, ``main.py:200-219``) maps onto
+``pipeline`` / ``benchmark``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+BMILD_DEFAULT = "/root/reference/data/lego_example_weights/model_fine_200000.npy"
+
+
+def _parse_resolutions(vals: List[str]):
+    out = []
+    for v in vals:
+        w, h = v.lower().split("x")
+        out.append((int(w), int(h)))
+    return out
+
+
+def cmd_train(args) -> int:
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import default_config
+    from nerf_tpu.data.blender import load_blender_data
+    from nerf_tpu.data.synthetic import make_procedural_dataset
+    from nerf_tpu.train import NeRFTrainer
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data_dir=args.data_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        output_dir=args.output_dir,
+        train=dataclasses.replace(cfg.train, n_epochs=args.epochs),
+    )
+    w = h = args.image_size
+    if os.path.isdir(args.data_dir) and os.path.exists(
+        os.path.join(args.data_dir, "transforms_train.json")
+    ):
+        data = load_blender_data(args.data_dir, (w, h), splits=("train", "val"))
+        train_ds, val_ds = data["train"], data["val"]
+    else:
+        print(f"no blender dataset at {args.data_dir}; using procedural scene")
+        train_ds = make_procedural_dataset(n_views=20, img_wh=(w, h), seed=0)
+        val_ds = make_procedural_dataset(n_views=4, img_wh=(w, h), seed=1,
+                                         split="val")
+
+    trainer = NeRFTrainer(cfg, (h, w))
+    trainer.train(train_ds, val_ds, n_epochs=args.epochs, resume=not args.no_resume)
+    path = trainer.save_checkpoint("final_model.npz")
+    trainer.plot_losses()
+    print(f"final checkpoint: {path}")
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from nerf_tpu.bench.suite import UnifiedBenchmarkSuite
+    from nerf_tpu.config import bmild_config, default_config
+
+    ckpt = args.checkpoint
+    cfg = bmild_config() if (ckpt or "").endswith(".npy") else default_config()
+    suite = UnifiedBenchmarkSuite(cfg, output_dir=args.output_dir)
+    suite.add_available_renderers(args.engines)
+    suite.run_benchmark(
+        ckpt,
+        resolutions=_parse_resolutions(args.resolutions),
+        samples=[int(s) for s in args.samples],
+        n_views=args.views,
+    )
+    paths = suite.generate_report()
+    for k, v in paths.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def cmd_render(args) -> int:
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import bmild_config, default_config
+    from nerf_tpu.render.engines import ENGINE_CLASSES, SharedModel
+    from nerf_tpu.utils.cameras import focal_from_angle, spherical_pose
+
+    weights = args.weights
+    if weights == "bmild":
+        weights = BMILD_DEFAULT
+    cfg = bmild_config() if weights.endswith(".npy") else default_config()
+    shared = SharedModel(cfg).load(weights)
+    engine = ENGINE_CLASSES[args.engine](shared)
+
+    pose = spherical_pose(args.theta, args.phi, args.radius)
+    focal = (
+        args.focal
+        if args.focal is not None
+        else focal_from_angle(args.width, 0.6911112070083618)
+    )
+    res = engine.render_image(
+        pose, (args.width, args.height), args.samples,
+        focal=focal, mode=args.mode,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    from PIL import Image
+
+    rgb_path = os.path.join(args.out, "rgb.png")
+    Image.fromarray((np.clip(res.rgb, 0, 1) * 255).astype(np.uint8)).save(rgb_path)
+    d = res.depth
+    dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
+    depth_path = os.path.join(args.out, "depth.png")
+    Image.fromarray((dn * 255).astype(np.uint8)).save(depth_path)
+    print(
+        f"rendered {args.width}x{args.height}@{args.samples} with {args.engine} "
+        f"in {res.stats.wall_time_s:.3f}s "
+        f"({args.width*args.height/res.stats.wall_time_s:,.0f} rays/s)"
+    )
+    print(f"wrote {rgb_path}, {depth_path}")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """Side-by-side RGB/depth grid across all engines on one novel view, with
+    black-image debug stats (``compare_renderers.py:104-109``)."""
+    from nerf_tpu.config import bmild_config, default_config
+    from nerf_tpu.render.engines import SharedModel, available_engines
+    from nerf_tpu.utils.cameras import focal_from_angle, spherical_pose
+
+    ckpt = args.checkpoint
+    if ckpt == "bmild":
+        ckpt = BMILD_DEFAULT
+    cfg = bmild_config() if (ckpt or "").endswith(".npy") else default_config()
+    shared = SharedModel(cfg).load(ckpt)
+    engines = available_engines(shared)
+    pose = spherical_pose(40.0, -30.0, 4.0)
+    focal = focal_from_angle(args.size, 0.6911112070083618)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(engines)
+    fig, axes = plt.subplots(2, n, figsize=(4 * n, 8), squeeze=False)
+    for col, (name, engine) in enumerate(engines.items()):
+        res = engine.render_image(
+            pose, (args.size, args.size), args.samples, focal=focal
+        )
+        mean = float(res.rgb.mean())
+        status = "BLACK IMAGE?" if mean < 0.01 else f"mean={mean:.3f}"
+        print(f"{name}: {res.stats.wall_time_s:.3f}s {status}")
+        axes[0][col].imshow(np.clip(res.rgb, 0, 1))
+        axes[0][col].set_title(f"{name}\n{res.stats.wall_time_s:.2f}s {status}")
+        axes[0][col].axis("off")
+        d = res.depth
+        axes[1][col].imshow((d - d.min()) / max(float(d.max() - d.min()), 1e-9),
+                            cmap="viridis")
+        axes[1][col].set_title(f"{name} depth")
+        axes[1][col].axis("off")
+    os.makedirs(args.output_dir, exist_ok=True)
+    path = os.path.join(args.output_dir, "renderer_comparison.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    print(f"wrote {path}")
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    """Reference ``main.py`` behavior: train (unless skipped) then benchmark."""
+    if not args.benchmark_only and not args.skip_training:
+        rc = cmd_train(args)
+        if rc:
+            return rc
+    if args.checkpoint is None:
+        args.checkpoint = os.path.join(args.checkpoint_dir, "final_model.npz")
+    args.engines = None
+    return cmd_benchmark(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nerf-tpu",
+                                description="TPU-native NeRF framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--output_dir", default="outputs")
+        sp.add_argument("--checkpoint_dir", default="checkpoints")
+
+    t = sub.add_parser("train", help="train a NeRF")
+    common(t)
+    t.add_argument("--data_dir", default="data/nerf_synthetic/lego")
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--image_size", type=int, default=400)
+    t.add_argument("--no_resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    b = sub.add_parser("benchmark", help="run the unified benchmark")
+    common(b)
+    b.add_argument("--checkpoint", default=None)
+    b.add_argument("--resolutions", nargs="+",
+                   default=["200x150", "400x300", "800x600"])
+    b.add_argument("--samples", nargs="+", default=["32", "64", "128"])
+    b.add_argument("--views", type=int, default=2)
+    b.add_argument("--engines", nargs="+", default=None)
+    b.set_defaults(fn=cmd_benchmark)
+
+    r = sub.add_parser("render", help="render one view")
+    r.add_argument("--weights", default="bmild",
+                   help="'bmild', a .npy, or a .npz checkpoint")
+    r.add_argument("--engine", default="pallas",
+                   choices=["xla", "pallas", "compressed"])
+    r.add_argument("--width", type=int, default=400)
+    r.add_argument("--height", type=int, default=400)
+    r.add_argument("--samples", type=int, default=64)
+    r.add_argument("--mode", default="benchmark",
+                   choices=["benchmark", "hierarchical"])
+    r.add_argument("--theta", type=float, default=30.0)
+    r.add_argument("--phi", type=float, default=-30.0)
+    r.add_argument("--radius", type=float, default=4.0)
+    r.add_argument("--focal", type=float, default=None)
+    r.add_argument("--out", default="outputs/render")
+    r.set_defaults(fn=cmd_render)
+
+    c = sub.add_parser("compare", help="side-by-side engine comparison")
+    c.add_argument("--checkpoint", default="bmild")
+    c.add_argument("--size", type=int, default=128)
+    c.add_argument("--samples", type=int, default=32)
+    c.add_argument("--output_dir", default="outputs")
+    c.set_defaults(fn=cmd_compare)
+
+    pl = sub.add_parser("pipeline", help="train then benchmark (reference main.py)")
+    common(pl)
+    pl.add_argument("--data_dir", default="data/nerf_synthetic/lego")
+    pl.add_argument("--epochs", type=int, default=100)
+    pl.add_argument("--image_size", type=int, default=400)
+    pl.add_argument("--no_resume", action="store_true")
+    pl.add_argument("--skip_training", action="store_true")
+    pl.add_argument("--benchmark_only", action="store_true")
+    pl.add_argument("--checkpoint", default=None)
+    pl.add_argument("--resolutions", nargs="+",
+                    default=["200x150", "400x300", "800x600"])
+    pl.add_argument("--samples", nargs="+", default=["32", "64", "128"])
+    pl.add_argument("--views", type=int, default=2)
+    pl.set_defaults(fn=cmd_pipeline)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

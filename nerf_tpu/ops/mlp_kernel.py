@@ -1,0 +1,428 @@
+"""Fused positional-encoding + NeRF-MLP evaluation as a Pallas TPU kernel.
+
+This is the TPU-native replacement for the reference's per-backend execution
+engines (PyTorch MPS/CUDA ops, the Numba JIT kernel ``numpy_renderer.py:39-79``,
+the abandoned GLSL shaders): one kernel evaluates the *entire* network —
+positional encoding, 8-layer trunk with skip connection, density head, and
+view-conditioned color branch — per block of samples, with every weight
+resident in VMEM.
+
+Why this is speed-of-light-shaped:
+
+- **Input bandwidth**: the kernel reads 8 floats/sample (xyz + dir, padded)
+  and writes 4 (sigma + rgb). The 63-wide position encoding and the 27-wide
+  direction encoding are (re)computed on the VPU inside VMEM instead of being
+  materialized in HBM — a ~21x reduction in input traffic vs an unfused
+  pipeline. At ~1.05 MFLOP/sample the kernel is massively compute-bound, so
+  the MXU stays busy.
+- **Weights stay on-chip**: all matrices (~1.2 MB bf16) fit VMEM; the grid
+  revisits the same weight blocks so they are fetched once, not per block.
+- **MXU-aligned skip connection**: the 319-wide skip concat is decomposed
+  into two matmuls (``h @ W_h + enc @ W_e``) — no lane-dim concatenation of
+  activations with weights, both contractions MXU-tiled.
+- **Encoding layout is kernel-chosen**: ``enc @ W0`` is invariant under a
+  simultaneous permutation of encoding columns and W0 rows, so the kernel
+  computes phases as one tiny matmul ``x @ F`` (j-major layout) and the
+  *pre-permuted* first-layer weights are produced by ``pack_params``. The
+  reference's interleaved sin/cos order never needs to exist on chip.
+- bf16 matmuls with float32 accumulation (``preferred_element_type``); phases
+  and transcendentals in float32 (bf16 phases would destroy high-frequency
+  bands).
+
+Differentiability: ``fused_nerf_apply`` carries a custom VJP whose backward
+recomputes activations with the XLA path (``models.nerf.apply_nerf``) — the
+Pallas kernel accelerates every forward/inference call while training
+gradients remain exactly the XLA ones (rematerialization, nothing stashed).
+
+Capability citation: replaces reference ``base_renderer.py:165-188``
+(query_nerf_networks) + ``nerf.py:92-131`` (forward) as a single fused op.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_tpu.config import ModelConfig
+from nerf_tpu.models.nerf import NeRFParams, apply_nerf
+
+HID = 256  # kernel specializes the reference width; asserted in pack_params
+
+# ---------------------------------------------------------------------------
+# Weight packing
+# ---------------------------------------------------------------------------
+
+
+class PackedWeights(NamedTuple):
+    """Kernel-layout weights. All [in, out]; lane dims padded as noted."""
+
+    f_pos: jnp.ndarray    # [4, 3*Lp]   phase matrix for positions (row 3 = 0 pad)
+    f_dir: jnp.ndarray    # [4, 3*Ld]   phase matrix for directions
+    w0: jnp.ndarray       # [enc_pad, 256]  first trunk layer, rows permuted to kernel enc layout
+    b0: jnp.ndarray       # [1, 256]
+    wt: jnp.ndarray       # [7, 256, 256]   trunk layers 1..7 (h-part at the skip)
+    bt: jnp.ndarray       # [7, 1, 256]
+    wskip: jnp.ndarray    # [enc_pad, 256]  enc-part of the skip layer (permuted)
+    whead: jnp.ndarray    # [256, 1 + head_out]  col 0 sigma; reference: cols 1:129
+                          #   = color0 h-part; bmild: cols 1:257 = bottleneck
+    bhead: jnp.ndarray    # [1, 1 + head_out]
+    wdir: jnp.ndarray     # [denc_pad, 128] direction-encoding part of color0 (permuted)
+    wc0: Optional[jnp.ndarray]  # bmild only: [256, 128] bottleneck->color0
+    bc0: Optional[jnp.ndarray]  # bmild only: [1, 128]
+    wc1: jnp.ndarray      # [128, 3]
+    bc1: jnp.ndarray      # [1, 3]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _enc_perm(L: int) -> np.ndarray:
+    """Map kernel-layout encoding column -> reference-layout column.
+
+    Reference layout (``nerf.py:40-45``): [x(3), sin(f0 x)(3), cos(f0 x)(3),
+    sin(f1 x)(3), ...] (frequency-major). Kernel layout: [x(3),
+    sin-block(3L, coordinate-major: col 3 + j*L + i), cos-block(3L)].
+    """
+    idx = list(range(3))
+    for j in range(3):           # sin block, j-major
+        for i in range(L):
+            idx.append(3 + 6 * i + j)
+    for j in range(3):           # cos block
+        for i in range(L):
+            idx.append(6 + 6 * i + j)
+    return np.asarray(idx)
+
+
+def _phase_matrix(L: int, include_pi: bool) -> np.ndarray:
+    """F [4, 3L] with F[j, j*L + i] = 2^i (*pi). Row 3 is zero padding so the
+    kernel can feed the [B, 4]-padded input straight in."""
+    freqs = (2.0 ** np.arange(L)) * (np.pi if include_pi else 1.0)
+    F = np.zeros((4, 3 * L), np.float32)
+    for j in range(3):
+        F[j, j * L : (j + 1) * L] = freqs
+    return F
+
+
+def pack_params(
+    params: NeRFParams, cfg: ModelConfig, dtype=jnp.bfloat16
+) -> PackedWeights:
+    """Re-layout a params pytree into the kernel's MXU-friendly format.
+
+    Pure jnp (traceable/jittable); weight-sized, so negligible even when run
+    per train step.
+    """
+    assert cfg.hidden_dim == HID and cfg.n_layers == 8 and cfg.color_hidden_dim == 128, (
+        "the fused kernel specializes the reference architecture "
+        "(256x8 trunk, 128 color); use the XLA path for other sizes"
+    )
+    Lp, Ld = cfg.pos_freqs, cfg.dir_freqs
+    enc_dim, denc_dim = 3 + 6 * Lp, 3 + 6 * Ld
+    enc_pad = _round_up(enc_dim + 1, 8)      # +1 zero col, sublane-align rows
+    denc_pad = _round_up(denc_dim + 1, 8)
+
+    perm_p = _enc_perm(Lp)
+    perm_d = _enc_perm(Ld)
+
+    def cast(x):
+        return jnp.asarray(x, dtype)
+
+    def pad_rows(w, rows):
+        return jnp.concatenate(
+            [w, jnp.zeros((rows - w.shape[0], w.shape[1]), w.dtype)], axis=0
+        )
+
+    trunk = params["trunk"]
+    if cfg.variant == "reference":
+        skip_pos = cfg.skip_layer                      # layer 4 sees [h, enc]
+        wsk = trunk[skip_pos]["w"]                     # [256+63, 256]
+        wsk_h, wsk_e = wsk[:HID], wsk[HID:]            # h rows first
+    elif cfg.variant == "bmild":
+        skip_pos = cfg.skip_layer + 1                  # layer 5 sees [enc, h]
+        wsk = trunk[skip_pos]["w"]                     # [63+256, 256]
+        wsk_e, wsk_h = wsk[: enc_dim], wsk[enc_dim:]
+    else:
+        raise ValueError(f"unknown variant {cfg.variant}")
+
+    wt_list, bt_list = [], []
+    for i in range(1, 8):
+        w = wsk_h if i == skip_pos else trunk[i]["w"]
+        b = trunk[i]["b"]
+        wt_list.append(cast(w))
+        bt_list.append(cast(b)[None, :])
+
+    w0 = pad_rows(cast(trunk[0]["w"][perm_p]), enc_pad)
+    wskip = pad_rows(cast(wsk_e[perm_p]), enc_pad)
+
+    if cfg.variant == "reference":
+        # heads: col 0 = density, cols 1:129 = color0's h-part
+        wc0 = params["color0"]["w"]                    # [256+27, 128]
+        whead = jnp.concatenate([cast(params["density"]["w"]), cast(wc0[:HID])], axis=1)
+        bhead = jnp.concatenate(
+            [cast(params["density"]["b"]), cast(params["color0"]["b"])]
+        )[None, :]
+        wdir = pad_rows(cast(wc0[HID:][perm_d]), denc_pad)
+        wc0_k, bc0_k = None, None
+    else:
+        # heads: col 0 = alpha, cols 1:257 = bottleneck (no activation)
+        wc0 = params["color0"]["w"]                    # [256+27, 128]
+        whead = jnp.concatenate(
+            [cast(params["density"]["w"]), cast(params["bottleneck"]["w"])], axis=1
+        )
+        bhead = jnp.concatenate(
+            [cast(params["density"]["b"]), cast(params["bottleneck"]["b"])]
+        )[None, :]
+        wdir = pad_rows(cast(wc0[HID:][perm_d]), denc_pad)
+        wc0_k = cast(wc0[:HID])
+        bc0_k = cast(params["color0"]["b"])[None, :]
+
+    return PackedWeights(
+        f_pos=jnp.asarray(_phase_matrix(Lp, cfg.posenc_pi)),
+        f_dir=jnp.asarray(_phase_matrix(Ld, cfg.posenc_pi)),
+        w0=w0,
+        b0=cast(trunk[0]["b"])[None, :],
+        wt=jnp.stack(wt_list),
+        bt=jnp.stack(bt_list),
+        wskip=wskip,
+        whead=whead,
+        bhead=bhead,
+        wdir=wdir,
+        wc0=wc0_k,
+        bc0=bc0_k,
+        wc1=cast(params["color1"]["w"]),
+        bc1=cast(params["color1"]["b"])[None, :],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _nerf_math(
+    pos4, dir4, w: Dict[str, Any], *,
+    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+):
+    """The full network on loaded arrays (shared by the plain kernel and the
+    int8-dequant kernel in ``ops/quant.py``). ``w`` maps PackedWeights field
+    names to in-VMEM arrays. Returns [B, 4] = (sigma, rgb)."""
+
+    def encode(x4_f32, f, L, pad_to):
+        """[B, 4] padded coords -> [B, pad_to] kernel-layout encoding."""
+        p = jnp.dot(x4_f32, f, preferred_element_type=jnp.float32)
+        zeros = jnp.zeros((x4_f32.shape[0], pad_to - (3 + 6 * L)), jnp.float32)
+        return jnp.concatenate(
+            [x4_f32[:, :3], jnp.sin(p), jnp.cos(p), zeros], axis=-1
+        )
+
+    pos = pos4.astype(jnp.float32)                     # [B, 4]
+    enc = encode(pos, w["f_pos"], Lp, w["w0"].shape[0]).astype(dtype)
+
+    # MXU matmuls accumulate in f32 (a Mosaic requirement); bias+relu on the
+    # VPU in f32, recast to the compute dtype at the next matmul input.
+    x = jax.nn.relu(
+        jnp.dot(enc, w["w0"], preferred_element_type=jnp.float32)
+        + w["b0"].astype(jnp.float32)
+    )
+    for i in range(1, 8):
+        y = jnp.dot(x.astype(dtype), w["wt"][i - 1], preferred_element_type=jnp.float32)
+        if i == skip_pos:
+            y = y + jnp.dot(enc, w["wskip"], preferred_element_type=jnp.float32)
+        x = jax.nn.relu(y + w["bt"][i - 1].astype(jnp.float32))
+
+    hv = (
+        jnp.dot(x.astype(dtype), w["whead"], preferred_element_type=jnp.float32)
+        + w["bhead"].astype(jnp.float32)
+    )
+    sigma = hv[:, :1]
+    if relu_sigma:
+        sigma = jax.nn.relu(sigma)
+
+    dirv = dir4.astype(jnp.float32)                    # [B, 4]
+    denc = encode(dirv, w["f_dir"], Ld, w["wdir"].shape[0]).astype(dtype)
+    cdir = jnp.dot(denc, w["wdir"], preferred_element_type=jnp.float32)
+
+    if variant == "bmild":
+        feat = hv[:, 1:]                               # bottleneck, no relu
+        c = jax.nn.relu(
+            jnp.dot(feat.astype(dtype), w["wc0"], preferred_element_type=jnp.float32)
+            + cdir
+            + w["bc0"].astype(jnp.float32)
+        )
+    else:
+        c = jax.nn.relu(hv[:, 1:] + cdir)              # color0 bias is in bhead
+
+    rgb = jax.nn.sigmoid(
+        jnp.dot(c.astype(dtype), w["wc1"], preferred_element_type=jnp.float32)
+        + w["bc1"].astype(jnp.float32)
+    )
+    return jnp.concatenate([sigma, rgb], axis=-1)
+
+
+def _nerf_kernel(
+    # inputs (order must match the pallas_call arg assembly below)
+    pos_ref, dir_ref, f_pos_ref, f_dir_ref, w0_ref, b0_ref, wt_ref, bt_ref,
+    wskip_ref, whead_ref, bhead_ref, wdir_ref, *rest,
+    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+):
+    if variant == "bmild":
+        wc0_ref, bc0_ref, wc1_ref, bc1_ref, out_ref = rest
+        extra = {"wc0": wc0_ref[:], "bc0": bc0_ref[:]}
+    else:
+        wc1_ref, bc1_ref, out_ref = rest
+        extra = {}
+
+    w = {
+        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:], "w0": w0_ref[:],
+        "b0": b0_ref[:], "wt": wt_ref, "bt": bt_ref, "wskip": wskip_ref[:],
+        "whead": whead_ref[:], "bhead": bhead_ref[:], "wdir": wdir_ref[:],
+        "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
+    }
+    out_ref[:] = _nerf_math(
+        pos_ref[:], dir_ref[:], w, variant=variant, skip_pos=skip_pos,
+        Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+    )
+
+
+def _pallas_forward(
+    packed: PackedWeights,
+    positions: jnp.ndarray,     # [N, 3] f32
+    directions: jnp.ndarray,    # [N, 3] f32
+    cfg: ModelConfig,
+    block: int,
+    dtype,
+    interpret: bool,
+) -> jnp.ndarray:               # [N, 4] f32 (sigma, rgb)
+    n = positions.shape[0]
+    n_pad = _round_up(max(n, block), block)
+
+    def pad4(x):
+        out = jnp.zeros((n_pad, 4), jnp.float32)
+        return out.at[:n, :3].set(x)
+
+    pos4, dir4 = pad4(positions), pad4(directions)
+    skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
+
+    # block-resident inputs: samples stream [block, 4]; weights whole-array
+    def stream(i):
+        return (i, 0)
+
+    def resident(i):
+        return tuple([0] * 2)
+
+    def resident3(i):
+        return tuple([0] * 3)
+
+    weight_arrays = [
+        packed.f_pos, packed.f_dir, packed.w0, packed.b0, packed.wt,
+        packed.bt, packed.wskip, packed.whead, packed.bhead, packed.wdir,
+    ]
+    if cfg.variant == "bmild":
+        weight_arrays += [packed.wc0, packed.bc0]
+    weight_arrays += [packed.wc1, packed.bc1]
+
+    weight_specs = [
+        pl.BlockSpec(
+            w.shape, resident3 if w.ndim == 3 else resident,
+            memory_space=pltpu.VMEM,
+        )
+        for w in weight_arrays
+    ]
+
+    kernel = functools.partial(
+        _nerf_kernel,
+        variant=cfg.variant,
+        skip_pos=skip_pos,
+        Lp=cfg.pos_freqs,
+        Ld=cfg.dir_freqs,
+        relu_sigma=(cfg.variant == "reference"),
+        dtype=dtype,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        interpret=interpret,
+    )(pos4, dir4, *weight_arrays)
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Public API (with training-grade VJP)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_nerf_apply(
+    params: NeRFParams,
+    positions: jnp.ndarray,
+    directions: jnp.ndarray,
+    cfg: ModelConfig,
+    block: int = 2048,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused replacement for ``apply_nerf``: ``(sigma [...], rgb
+    [..., 3])`` from ``positions/directions [..., 3]``."""
+    lead = positions.shape[:-1]
+    pos = positions.reshape(-1, 3).astype(jnp.float32)
+    if directions is None:
+        dirs = jnp.zeros_like(pos)
+    else:
+        dirs = jnp.broadcast_to(directions, positions.shape).reshape(-1, 3)
+        dirs = dirs.astype(jnp.float32)
+        if cfg.normalize_dirs:
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    packed = pack_params(params, cfg, dtype=dtype)
+    out = _pallas_forward(packed, pos, dirs, cfg, block, dtype, interpret)
+    sigma = out[:, 0].reshape(lead)
+    rgb = out[:, 1:4].reshape(*lead, 3)
+    return sigma, rgb
+
+
+def _fused_fwd(params, positions, directions, cfg, block, dtype, interpret):
+    out = fused_nerf_apply(params, positions, directions, cfg, block, dtype, interpret)
+    return out, (params, positions, directions)
+
+
+def _fused_bwd(cfg, block, dtype, interpret, residuals, cotangents):
+    """Backward = recompute with the XLA path. Gradients flow to params only
+    (positions/directions are data in NeRF training; their cotangents are
+    structurally zero in the training graph)."""
+    params, positions, directions = residuals
+
+    def f(p):
+        return apply_nerf(p, positions, directions, cfg, compute_dtype=dtype)
+
+    _, vjp = jax.vjp(f, params)
+    (dparams,) = vjp(cotangents)
+    dpos = jnp.zeros_like(positions)
+    ddirs = None if directions is None else jnp.zeros_like(directions)
+    return dparams, dpos, ddirs
+
+
+fused_nerf_apply.defvjp(_fused_fwd, _fused_bwd)
+
+
+def make_pallas_apply_fn(block: int = 2048, dtype=jnp.bfloat16, interpret: bool = False):
+    """Adapter matching the ``render.pipeline`` ``apply_fn`` signature."""
+
+    def apply_fn(params, positions, directions, cfg, compute_dtype=None):
+        return fused_nerf_apply(
+            params, positions, directions, cfg, block, dtype, interpret
+        )
+
+    return apply_fn

@@ -1,0 +1,295 @@
+"""Compressed NeRF: magnitude pruning + intN weight quantization with a
+Pallas dequantize-on-chip kernel.
+
+Capability parity with reference ``src/benchmark/compressed_renderer.py``:
+per-tensor magnitude pruning at a quantile threshold
+(``compressed_renderer.py:89-104``), affine int8/int16 quantization
+(``:106-145``), reduced-precision compute (``:181-187`` fp16), and a
+compression-stats report (``:271-309``). Defaults match the reference: 8-bit,
+10% prune (``:28-33``).
+
+TPU-native differences:
+- symmetric per-output-channel scales (better than the reference's per-tensor
+  affine for MLPs, and zero-point-free so dequant is one multiply);
+- weights ship to the kernel as int8/int16 and are dequantized *inside VMEM*
+  per grid step — HBM weight traffic drops 4x/2x vs f32. Dequant cost is
+  O(weights) per block vs O(block x weights) matmul FLOPs: noise.
+- compute stays bf16 on the MXU (the reference dequantizes to fp32/fp16 on
+  the host side, ``:147-159``).
+
+Inference-only by design, like the reference's compressed renderer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_tpu.config import ModelConfig
+from nerf_tpu.models.nerf import NeRFParams
+from nerf_tpu.ops.mlp_kernel import PackedWeights, _nerf_math, _round_up, pack_params
+
+
+class QuantizedPackedWeights(NamedTuple):
+    """PackedWeights with the large matrices as (int values, per-out-channel
+    scale) pairs. Phase matrices and biases stay in float."""
+
+    f_pos: jnp.ndarray
+    f_dir: jnp.ndarray
+    w0_q: jnp.ndarray      # intN [enc_pad, 256]
+    w0_s: jnp.ndarray      # f32 [1, 256]
+    b0: jnp.ndarray
+    wt_q: jnp.ndarray      # intN [7, 256, 256]
+    wt_s: jnp.ndarray      # f32 [7, 1, 256]
+    bt: jnp.ndarray
+    wskip_q: jnp.ndarray
+    wskip_s: jnp.ndarray
+    whead_q: jnp.ndarray
+    whead_s: jnp.ndarray
+    bhead: jnp.ndarray
+    wdir_q: jnp.ndarray
+    wdir_s: jnp.ndarray
+    wc0_q: Optional[jnp.ndarray]
+    wc0_s: Optional[jnp.ndarray]
+    bc0: Optional[jnp.ndarray]
+    wc1_q: jnp.ndarray
+    wc1_s: jnp.ndarray
+    bc1: jnp.ndarray
+
+
+def prune_params(params: NeRFParams, prune_fraction: float) -> NeRFParams:
+    """Zero the smallest-|w| fraction of every weight matrix (per-tensor
+    quantile threshold, reference ``compressed_renderer.py:89-104``). Biases
+    untouched."""
+    if prune_fraction <= 0.0:
+        return params
+
+    def prune_leaf(path, leaf):
+        is_weight = any(
+            isinstance(p, jax.tree_util.DictKey) and p.key == "w" for p in path
+        )
+        if not is_weight:
+            return leaf
+        thresh = jnp.quantile(jnp.abs(leaf), prune_fraction)
+        return jnp.where(jnp.abs(leaf) <= thresh, 0.0, leaf)
+
+    return jax.tree_util.tree_map_with_path(prune_leaf, params)
+
+
+def _quantize(w: jnp.ndarray, bits: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel quantization of [in, out] (or [k, in,
+    out]) weights. Returns (q intN, scale f32 broadcastable over rows)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    dtype = jnp.int8 if bits <= 8 else jnp.int16
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / qmax
+    q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(dtype)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_packed(
+    packed: PackedWeights, bits: int = 8
+) -> QuantizedPackedWeights:
+    f = lambda w: _quantize(jnp.asarray(w, jnp.float32), bits)
+    w0_q, w0_s = f(packed.w0)
+    wt_q, wt_s = f(packed.wt)
+    wskip_q, wskip_s = f(packed.wskip)
+    whead_q, whead_s = f(packed.whead)
+    wdir_q, wdir_s = f(packed.wdir)
+    wc1_q, wc1_s = f(packed.wc1)
+    if packed.wc0 is not None:
+        wc0_q, wc0_s = f(packed.wc0)
+        bc0 = packed.bc0
+    else:
+        wc0_q = wc0_s = bc0 = None
+    return QuantizedPackedWeights(
+        f_pos=packed.f_pos, f_dir=packed.f_dir,
+        w0_q=w0_q, w0_s=w0_s, b0=packed.b0,
+        wt_q=wt_q, wt_s=wt_s, bt=packed.bt,
+        wskip_q=wskip_q, wskip_s=wskip_s,
+        whead_q=whead_q, whead_s=whead_s, bhead=packed.bhead,
+        wdir_q=wdir_q, wdir_s=wdir_s,
+        wc0_q=wc0_q, wc0_s=wc0_s, bc0=bc0,
+        wc1_q=wc1_q, wc1_s=wc1_s, bc1=packed.bc1,
+    )
+
+
+def quantize_model(
+    params: Dict[str, NeRFParams],
+    cfg: ModelConfig,
+    bits: int = 8,
+    prune_fraction: float = 0.1,
+) -> Tuple[Dict[str, QuantizedPackedWeights], Dict[str, Any]]:
+    """Quantize {'coarse','fine'} params. Returns (quantized, stats report).
+
+    The stats dict is the reference's compression report capability
+    (``compressed_renderer.py:271-309``): original/compressed bytes, ratio,
+    sparsity.
+    """
+    out: Dict[str, QuantizedPackedWeights] = {}
+    stats: Dict[str, Any] = {"bits": bits, "prune_fraction": prune_fraction,
+                             "networks": {}}
+    for name, p in params.items():
+        pruned = prune_params(p, prune_fraction)
+        packed = pack_params(pruned, cfg, dtype=jnp.float32)
+        q = quantize_packed(packed, bits)
+        out[name] = q
+
+        orig_bytes = sum(
+            int(np.prod(l.shape)) * 4 for l in jax.tree.leaves(p)
+        )
+        comp_bytes = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree.leaves(q)
+            if l is not None
+        )
+        nz = sum(int(jnp.sum(l != 0)) for l in jax.tree.leaves(pruned))
+        total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(pruned))
+        stats["networks"][name] = {
+            "original_mb": orig_bytes / 1e6,
+            "compressed_mb": comp_bytes / 1e6,
+            "compression_ratio": orig_bytes / comp_bytes,
+            "sparsity": 1.0 - nz / total,
+        }
+    return out, stats
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _quant_kernel(
+    pos_ref, dir_ref, f_pos_ref, f_dir_ref,
+    w0q_ref, w0s_ref, b0_ref, wtq_ref, wts_ref, bt_ref,
+    wskq_ref, wsks_ref, whq_ref, whs_ref, bhead_ref, wdq_ref, wds_ref, *rest,
+    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+):
+    if variant == "bmild":
+        wc0q_ref, wc0s_ref, bc0_ref, wc1q_ref, wc1s_ref, bc1_ref, out_ref = rest
+    else:
+        wc1q_ref, wc1s_ref, bc1_ref, out_ref = rest
+
+    def dq(q_ref, s_ref):
+        # dequantize in VMEM: intN -> f32 -> * per-channel scale -> bf16.
+        # O(weight) per grid step vs O(block*weight) matmul work: negligible.
+        return (q_ref[:].astype(jnp.float32) * s_ref[:]).astype(dtype)
+
+    class _TrunkView:
+        """Lazy per-layer dequant so only one [256,256] f32 temp lives at a
+        time (matches _nerf_math's wt[i] indexing)."""
+
+        def __getitem__(self, i):
+            return (wtq_ref[i].astype(jnp.float32) * wts_ref[i]).astype(dtype)
+
+    w = {
+        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:],
+        "w0": dq(w0q_ref, w0s_ref), "b0": b0_ref[:],
+        "wt": _TrunkView(), "bt": bt_ref,
+        "wskip": dq(wskq_ref, wsks_ref),
+        "whead": dq(whq_ref, whs_ref), "bhead": bhead_ref[:],
+        "wdir": dq(wdq_ref, wds_ref),
+        "wc1": dq(wc1q_ref, wc1s_ref), "bc1": bc1_ref[:],
+    }
+    if variant == "bmild":
+        w["wc0"] = dq(wc0q_ref, wc0s_ref)
+        w["bc0"] = bc0_ref[:]
+
+    out_ref[:] = _nerf_math(
+        pos_ref[:], dir_ref[:], w, variant=variant, skip_pos=skip_pos,
+        Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+    )
+
+
+def quantized_nerf_apply(
+    q: QuantizedPackedWeights,
+    positions: jnp.ndarray,
+    directions: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+    block: int = 2048,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sigma, rgb) from intN-quantized weights; same contract as
+    ``fused_nerf_apply``."""
+    lead = positions.shape[:-1]
+    pos = positions.reshape(-1, 3).astype(jnp.float32)
+    if directions is None:
+        dirs = jnp.zeros_like(pos)
+    else:
+        dirs = jnp.broadcast_to(directions, positions.shape).reshape(-1, 3)
+        dirs = dirs.astype(jnp.float32)
+        if cfg.normalize_dirs:
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    n = pos.shape[0]
+    n_pad = _round_up(max(n, block), block)
+
+    def pad4(x):
+        out = jnp.zeros((n_pad, 4), jnp.float32)
+        return out.at[:n, :3].set(x)
+
+    pos4, dir4 = pad4(pos), pad4(dirs)
+    skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
+
+    weight_arrays = [
+        q.f_pos, q.f_dir, q.w0_q, q.w0_s, q.b0, q.wt_q, q.wt_s, q.bt,
+        q.wskip_q, q.wskip_s, q.whead_q, q.whead_s, q.bhead, q.wdir_q, q.wdir_s,
+    ]
+    if cfg.variant == "bmild":
+        weight_arrays += [q.wc0_q, q.wc0_s, q.bc0]
+    weight_arrays += [q.wc1_q, q.wc1_s, q.bc1]
+
+    weight_specs = [
+        pl.BlockSpec(
+            w.shape, (lambda i: (0, 0, 0)) if w.ndim == 3 else (lambda i: (0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        for w in weight_arrays
+    ]
+
+    kernel = functools.partial(
+        _quant_kernel,
+        variant=cfg.variant,
+        skip_pos=skip_pos,
+        Lp=cfg.pos_freqs,
+        Ld=cfg.dir_freqs,
+        relu_sigma=(cfg.variant == "reference"),
+        dtype=dtype,
+    )
+    stream = lambda i: (i, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        interpret=interpret,
+    )(pos4, dir4, *weight_arrays)
+
+    sigma = out[:n, 0].reshape(lead)
+    rgb = out[:n, 1:4].reshape(*lead, 3)
+    return sigma, rgb
+
+
+def make_quantized_apply_fn(block: int = 2048, dtype=jnp.bfloat16,
+                            interpret: bool = False):
+    """Adapter matching the ``render.pipeline`` ``apply_fn`` signature; the
+    'params' it receives are QuantizedPackedWeights instances."""
+
+    def apply_fn(q, positions, directions, cfg, compute_dtype=None):
+        return quantized_nerf_apply(
+            q, positions, directions, cfg, block, dtype, interpret
+        )
+
+    return apply_fn

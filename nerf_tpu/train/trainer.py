@@ -72,11 +72,15 @@ def init_train_state(key: jax.Array, cfg: Config) -> TrainState:
 
 
 def make_train_step(cfg: Config, img_hw: Tuple[int, int], apply_fn=apply_nerf,
-                    donate: bool = True):
+                    donate: bool = True, ray_sharding=None, jit: bool = True):
     """Build the jitted train step for a fixed image shape.
 
     Returns ``step_fn(state, image [H,W,3], pose [4,4], focal, key) ->
     (state, metrics)`` where metrics = {loss, loss_coarse, loss_fine, psnr}.
+
+    ``ray_sharding``: optional ``NamedSharding`` constraining the selected ray
+    batch — the data-parallel axis for sharded training (``parallel/``); XLA
+    derives the gradient all-reduce from it.
     """
     H, W = img_hw
     optimizer = make_optimizer(cfg)
@@ -107,6 +111,10 @@ def make_train_step(cfg: Config, img_hw: Tuple[int, int], apply_fn=apply_nerf,
         rays_o = jnp.take(rays_o, idx, axis=0)
         rays_d = jnp.take(rays_d, idx, axis=0)
         target = jnp.take(pixels, idx, axis=0)
+        if ray_sharding is not None:
+            rays_o = jax.lax.with_sharding_constraint(rays_o, ray_sharding)
+            rays_d = jax.lax.with_sharding_constraint(rays_d, ray_sharding)
+            target = jax.lax.with_sharding_constraint(target, ray_sharding)
 
         (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -123,6 +131,8 @@ def make_train_step(cfg: Config, img_hw: Tuple[int, int], apply_fn=apply_nerf,
         }
         return new_state, metrics
 
+    if not jit:
+        return step_fn
     donate_argnums = (0,) if donate else ()
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 import jax
+import numpy as np
 
 try:
     import psutil
@@ -72,7 +73,7 @@ class PerformanceMonitor:
 
     def stop(self, result: Any = None) -> PerfStats:
         if result is not None:
-            jax.block_until_ready(result)
+            sync(result)
         wall = time.perf_counter() - self._t0
         if self._stop_evt is not None:
             self._stop_evt.set()
@@ -84,6 +85,20 @@ class PerformanceMonitor:
             device_kind=self.device.device_kind,
         )
         return stats
+
+
+def sync(result: Any) -> None:
+    """Fence on a computation's completion. ``jax.block_until_ready`` alone is
+    not sufficient on every backend (the experimental remote-TPU platform
+    returns immediately); fetching one element to the host is a hard
+    synchronization point, and one leaf suffices because a single executable
+    produces all outputs of a jitted call."""
+    jax.block_until_ready(result)
+    leaves = jax.tree.leaves(result)
+    if leaves:
+        first = leaves[0]
+        if hasattr(first, "ravel"):
+            np.asarray(first.ravel()[0:1])
 
 
 def device_peak_memory_mb(device: Optional[jax.Device] = None) -> Optional[float]:
