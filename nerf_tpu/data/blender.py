@@ -59,8 +59,11 @@ def _load_image(path: str, img_wh: Tuple[int, int]) -> np.ndarray:
 
 def load_blender_split(
     data_dir: str, split: str, img_wh: Tuple[int, int] = (800, 800),
-    max_images: Optional[int] = None,
+    max_images: Optional[int] = None, use_native: str = "auto",
 ) -> BlenderDataset:
+    """``use_native``: 'auto' uses the C++ threaded decoder (``runtime/``)
+    when no resampling is needed (it resizes bilinearly; PIL's LANCZOS is the
+    reference-parity resampler, ``loader.py:47``), 'always'/'never' force."""
     meta_path = os.path.join(data_dir, f"transforms_{split}.json")
     with open(meta_path) as f:
         meta = json.load(f)
@@ -70,14 +73,27 @@ def load_blender_split(
     if max_images is not None:
         frames = frames[:max_images]
 
-    images, poses = [], []
+    paths, poses = [], []
     for frame in frames:
         fp = frame["file_path"]
         img_path = os.path.join(data_dir, fp)
         if not os.path.splitext(img_path)[1]:
             img_path += ".png"
-        images.append(_load_image(img_path, img_wh))
+        paths.append(img_path)
         poses.append(np.asarray(frame["transform_matrix"], np.float32))
+
+    native = use_native == "always"
+    if use_native == "auto" and paths:
+        from PIL import Image
+
+        with Image.open(paths[0]) as probe:
+            native = probe.size == img_wh  # no resample -> bit-identical path
+    if native:
+        from nerf_tpu.runtime import decode_png_batch
+
+        images = list(decode_png_batch(paths, img_wh, white_background=True))
+    else:
+        images = [_load_image(p, img_wh) for p in paths]
 
     return BlenderDataset(
         images=np.stack(images) if images else np.zeros((0, img_wh[1], img_wh[0], 3), np.float32),
