@@ -136,6 +136,43 @@ class UnifiedBenchmarkSuite:
             os.path.join(d, f"view0_{tag}_depth.png")
         )
 
+    def quality_report(
+        self,
+        resolution: Tuple[int, int] = (200, 150),
+        spp: int = 64,
+        focal: float = BENCHMARK_FOCAL,
+        reference_engine: str = "xla",
+    ) -> Dict[str, Dict[str, float]]:
+        """Cross-engine quality gate: PSNR/SSIM of every engine's render vs
+        the XLA engine's on one view — the quantitative version of the
+        reference's 'memory vs accuracy trade-off' claim for its compressed
+        renderer (``compressed_renderer.py:1-11``) and of its human-eyeball
+        comparison grid (``compare_renderers.py``)."""
+        import jax.numpy as jnp
+
+        from nerf_tpu.utils.metrics import psnr, ssim
+
+        assert reference_engine in self.engines
+        pose = orbit_poses(2)[0]
+        ref = self.engines[reference_engine].render_image(
+            pose, resolution, spp, focal=focal, monitor=False
+        )
+        report: Dict[str, Dict[str, float]] = {}
+        for name, engine in self.engines.items():
+            if name == reference_engine:
+                continue
+            res = engine.render_image(pose, resolution, spp, focal=focal,
+                                      monitor=False)
+            report[name] = {
+                "psnr_db": float(psnr(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
+                "ssim": float(ssim(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
+            }
+            print(f"  quality {name} vs {reference_engine}: "
+                  f"{report[name]['psnr_db']:.1f} dB PSNR, "
+                  f"SSIM {report[name]['ssim']:.4f}")
+        self._quality = report
+        return report
+
     # -- reporting ----------------------------------------------------------
 
     def to_dataframe(self):
@@ -151,8 +188,13 @@ class UnifiedBenchmarkSuite:
     def generate_report(self) -> Dict[str, str]:
         """CSV + JSON + 4-panel chart + printed summary (reference
         ``benchmark_suite.py:237-373``). Returns written file paths."""
+        import pandas as pd
+
         os.makedirs(self.output_dir, exist_ok=True)
         df = self.to_dataframe()
+        if df.empty:
+            df = pd.DataFrame(columns=["renderer_name", "success",
+                                       "rays_per_second"])
         paths = {}
 
         csv_path = os.path.join(self.output_dir, "benchmark_results.csv")
@@ -161,8 +203,13 @@ class UnifiedBenchmarkSuite:
 
         json_path = os.path.join(self.output_dir, "benchmark_results.json")
         with open(json_path, "w") as f:
-            json.dump([dataclasses.asdict(r) for r in self.results], f, indent=2,
-                      default=str)
+            json.dump(
+                {
+                    "results": [dataclasses.asdict(r) for r in self.results],
+                    "quality": getattr(self, "_quality", {}),
+                },
+                f, indent=2, default=str,
+            )
         paths["json"] = json_path
 
         ok = df[df["success"]]

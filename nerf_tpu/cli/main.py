@@ -86,6 +86,8 @@ def cmd_benchmark(args) -> int:
         samples=[int(s) for s in args.samples],
         n_views=args.views,
     )
+    if len(suite.engines) > 1 and "xla" in suite.engines:
+        suite.quality_report()
     paths = suite.generate_report()
     for k, v in paths.items():
         print(f"{k}: {v}")
@@ -180,6 +182,36 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_scale(args) -> int:
+    """Scaling report: rays/s and parallel efficiency over 1..N devices."""
+    import jax
+
+    from nerf_tpu.bench.scaling import scaling_report
+    from nerf_tpu.config import bmild_config, default_config
+    from nerf_tpu.render.engines import SharedModel
+
+    ckpt = args.checkpoint
+    if ckpt == "bmild":
+        ckpt = BMILD_DEFAULT
+    cfg = bmild_config() if (ckpt or "").endswith(".npy") else default_config()
+    shared = SharedModel(cfg).load(ckpt)
+    w, h = _parse_resolutions([args.resolution])[0]
+    print(f"devices available: {len(jax.devices())}")
+    rows = scaling_report(
+        shared.params["fine"], cfg, resolution=(w, h), spp=args.samples,
+        focal=args.focal,
+        device_counts=[int(d) for d in args.devices] if args.devices else None,
+    )
+    import json as _json
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, "scaling_report.json")
+    with open(out, "w") as f:
+        _json.dump([r.__dict__ for r in rows], f, indent=2)
+    print(f"wrote {out}")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """Reference ``main.py`` behavior: train (unless skipped) then benchmark."""
     if not args.benchmark_only and not args.skip_training:
@@ -242,6 +274,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--samples", type=int, default=32)
     c.add_argument("--output_dir", default="outputs")
     c.set_defaults(fn=cmd_compare)
+
+    s = sub.add_parser("scale", help="multi-device scaling report")
+    s.add_argument("--checkpoint", default="bmild")
+    s.add_argument("--resolution", default="400x300")
+    s.add_argument("--samples", type=int, default=64)
+    s.add_argument("--focal", type=float, default=800.0)
+    s.add_argument("--devices", nargs="+", default=None)
+    s.add_argument("--output_dir", default="outputs")
+    s.set_defaults(fn=cmd_scale)
 
     pl = sub.add_parser("pipeline", help="train then benchmark (reference main.py)")
     common(pl)

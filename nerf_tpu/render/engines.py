@@ -112,6 +112,10 @@ class Engine:
     def apply_fn(self):
         raise NotImplementedError
 
+    def composite_fn(self):
+        """Optional compositor override (None -> jnp ``volume_render``)."""
+        return None
+
     @classmethod
     def is_available(cls) -> bool:
         return True
@@ -132,6 +136,7 @@ class Engine:
         chunk = min(self.chunk_rays, n)
         n_pad = ((n + chunk - 1) // chunk) * chunk
         apply_fn = self.apply_fn()
+        composite_fn = self.composite_fn()
         dt = jnp.dtype(cfg.train.compute_dtype)
 
         if mode == "benchmark":
@@ -177,12 +182,16 @@ class Engine:
                     dirs = jnp.broadcast_to(rd[:, None, :], pts.shape)
                     sigma, rgb = apply_fn(params["fine"], pts, dirs, cfg.model,
                                           compute_dtype=dt)
-                    out = volume_render(sigma, rgb, z, rd, rcfg)
+                    if composite_fn is not None:
+                        out = composite_fn(sigma, rgb, z, rd, rcfg)
+                    else:
+                        out = volume_render(sigma, rgb, z, rd, rcfg)
                     return out.rgb, out.depth
                 result = render_rays(
                     params["coarse"], params["fine"], ro, rd,
                     cfg.model, rcfg, key=None, perturb=False,
                     compute_dtype=dt, apply_fn=apply_fn,
+                    composite_fn=composite_fn,
                 )
                 return result.fine.rgb, result.fine.depth
 
@@ -254,6 +263,7 @@ class PallasEngine(Engine):
         from nerf_tpu.ops.mlp_kernel import make_pallas_apply_fn
 
         self._apply = make_pallas_apply_fn(block=block, interpret=interpret)
+        self._interpret = interpret
 
     @classmethod
     def is_available(cls) -> bool:
@@ -263,6 +273,17 @@ class PallasEngine(Engine):
 
     def apply_fn(self):
         return self._apply
+
+    def composite_fn(self):
+        from nerf_tpu.ops.composite_kernel import fused_volume_render
+
+        interpret = self._interpret
+
+        def fn(sigma, rgb, z, rd, rcfg):
+            return fused_volume_render(sigma, rgb, z, rd, rcfg,
+                                       interpret=interpret)
+
+        return fn
 
 
 class CompressedEngine(Engine):

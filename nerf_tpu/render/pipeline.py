@@ -47,9 +47,12 @@ def _eval_and_composite(
     compute_dtype,
     noise_key: Optional[jax.Array],
     apply_fn=apply_nerf,
+    composite_fn=None,
 ) -> RenderOutputs:
     dirs = jnp.broadcast_to(rays_d[..., None, :], points.shape)
     sigma, rgb = apply_fn(params, points, dirs, mcfg, compute_dtype=compute_dtype)
+    if composite_fn is not None and noise_key is None:
+        return composite_fn(sigma, rgb, z_vals, rays_d, rcfg)
     return volume_render(sigma, rgb, z_vals, rays_d, rcfg, noise_key=noise_key)
 
 
@@ -64,12 +67,16 @@ def render_rays(
     perturb: bool = False,
     compute_dtype=jnp.float32,
     apply_fn=apply_nerf,
+    composite_fn=None,
 ) -> RayRenderResult:
     """Render a batch of rays through the coarse+fine pipeline.
 
     ``apply_fn`` is injectable so execution engines can swap the MLP
     evaluator (XLA jnp vs fused Pallas vs quantized) without duplicating the
     pipeline — the TPU analog of the reference's per-backend renderer classes.
+    ``composite_fn`` likewise swaps the compositor (jnp ``volume_render`` vs
+    the fused Pallas scan, ``ops/composite_kernel.py``); it is used on
+    deterministic (noise-free) passes only.
     """
     if perturb or (rcfg.use_importance and key is not None):
         if key is None:
@@ -84,7 +91,7 @@ def render_rays(
     )
     coarse = _eval_and_composite(
         params_coarse, pts_c, z_c, rays_d, mcfg, rcfg, compute_dtype,
-        k_noise_c if perturb else None, apply_fn,
+        k_noise_c if perturb else None, apply_fn, composite_fn,
     )
 
     if rcfg.use_importance:
@@ -100,6 +107,6 @@ def render_rays(
         )
     fine = _eval_and_composite(
         params_fine, pts_f, z_f, rays_d, mcfg, rcfg, compute_dtype,
-        k_noise_f if perturb else None, apply_fn,
+        k_noise_f if perturb else None, apply_fn, composite_fn,
     )
     return RayRenderResult(coarse=coarse, fine=fine)

@@ -117,3 +117,25 @@ def test_benchmark_fault_isolation(tmp_path, shared_random):
     assert len(results) == 1
     assert not results[0].success
     assert "Boom" in results[0].error
+
+
+def test_quality_report(tmp_path):
+    from nerf_tpu.config import bmild_config
+
+    shared = SharedModel(bmild_config()).load(BMILD_WEIGHTS)
+    suite = UnifiedBenchmarkSuite(bmild_config(), output_dir=str(tmp_path))
+    suite.shared = shared
+    suite.engines = available_engines(shared, names=["xla", "compressed"])
+    for e in suite.engines.values():
+        e.chunk_rays = 512
+    report = suite.quality_report(resolution=(32, 24), spp=8,
+                                  focal=25.0)
+    assert "compressed" in report
+    assert report["compressed"]["psnr_db"] > 20.0
+    assert report["compressed"]["ssim"] > 0.7
+    suite.generate_report()
+    import json
+
+    with open(tmp_path / "benchmark_results.json") as f:
+        data = json.load(f)
+    assert "quality" in data and "compressed" in data["quality"]
