@@ -114,10 +114,20 @@ def cmd_render(args) -> int:
         if args.focal is not None
         else focal_from_angle(args.width, 0.6911112070083618)
     )
-    res = engine.render_image(
-        pose, (args.width, args.height), args.samples,
-        focal=focal, mode=args.mode,
-    )
+    if args.trace:
+        from nerf_tpu.utils.monitor import profile_trace
+
+        with profile_trace(args.trace):
+            res = engine.render_image(
+                pose, (args.width, args.height), args.samples,
+                focal=focal, mode=args.mode,
+            )
+        print(f"profiler trace written to {args.trace}")
+    else:
+        res = engine.render_image(
+            pose, (args.width, args.height), args.samples,
+            focal=focal, mode=args.mode,
+        )
     os.makedirs(args.out, exist_ok=True)
     from PIL import Image
 
@@ -265,6 +275,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--phi", type=float, default=-30.0)
     r.add_argument("--radius", type=float, default=4.0)
     r.add_argument("--focal", type=float, default=None)
+    r.add_argument("--trace", default=None,
+                   help="write a jax.profiler trace to this directory")
     r.add_argument("--out", default="outputs/render")
     r.set_defaults(fn=cmd_render)
 

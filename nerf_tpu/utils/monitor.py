@@ -115,6 +115,33 @@ def device_peak_memory_mb(device: Optional[jax.Device] = None) -> Optional[float
     return None
 
 
+class profile_trace:
+    """Context manager writing a ``jax.profiler`` trace (viewable in
+    TensorBoard / Perfetto) — the TPU-native upgrade of the reference's
+    wall-clock-only monitor (``base_renderer.py:118-147``; SURVEY.md §5.1).
+    Falls back to a no-op if the backend can't trace."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        try:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception as e:  # pragma: no cover
+            print(f"profiler trace unavailable: {e}")
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:  # pragma: no cover
+                pass
+        return False
+
+
 def device_info_string(device: Optional[jax.Device] = None) -> str:
     """Label for benchmark rows (reference ``base_renderer.py:156-163``)."""
     device = device if device is not None else jax.devices()[0]
