@@ -87,16 +87,20 @@ def checkpoint_path(checkpoint_dir: str, epoch: int) -> str:
     return os.path.join(checkpoint_dir, f"checkpoint_epoch_{epoch}.npz")
 
 
-def find_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+def find_latest_checkpoint(checkpoint_dir: str, exclude=()) -> Optional[str]:
     """Max-epoch ``checkpoint_epoch_*.npz`` in the directory (reference
-    ``_find_latest_checkpoint``, ``trainer.py:246-269``)."""
+    ``_find_latest_checkpoint``, ``trainer.py:246-269``). ``exclude`` paths
+    are skipped (used by resume to step past unreadable files)."""
     if not os.path.isdir(checkpoint_dir):
         return None
     best: Tuple[int, Optional[str]] = (-1, None)
     for name in os.listdir(checkpoint_dir):
         m = _CKPT_RE.match(name)
         if m:
+            path = os.path.join(checkpoint_dir, name)
+            if path in exclude:
+                continue
             epoch = int(m.group(1))
             if epoch > best[0]:
-                best = (epoch, os.path.join(checkpoint_dir, name))
+                best = (epoch, path)
     return best[1]

@@ -212,10 +212,24 @@ class NeRFTrainer:
         self.val_losses = list(meta.get("val_losses", []))
 
     def try_resume(self) -> Optional[str]:
-        latest = ckpt.find_latest_checkpoint(self.cfg.checkpoint_dir)
-        if latest is not None:
-            self.load_checkpoint(latest)
-        return latest
+        """Resume from the newest readable checkpoint. A corrupt/truncated
+        file (e.g. preemption mid-write on a non-atomic filesystem) is
+        skipped and the next-newest is tried — elastic recovery the
+        reference lacks (its resume hard-fails on a bad file,
+        ``trainer.py:184-204``)."""
+        tried = set()
+        while True:
+            latest = ckpt.find_latest_checkpoint(
+                self.cfg.checkpoint_dir, exclude=tried
+            )
+            if latest is None:
+                return None
+            try:
+                self.load_checkpoint(latest)
+                return latest
+            except Exception as e:
+                print(f"checkpoint {latest} unreadable ({e}); trying older")
+                tried.add(latest)
 
     # -- loops --------------------------------------------------------------
 

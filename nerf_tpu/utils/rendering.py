@@ -181,3 +181,14 @@ def volume_render(
         rgb_map = rgb_map + (1.0 - acc_map[..., None])
 
     return RenderOutputs(rgb_map, depth_map, acc_map, weights)
+
+
+def normalized_depth(out: RenderOutputs, eps: float = 1e-6) -> jnp.ndarray:
+    """Expected depth normalized by accumulated opacity:
+    ``sum(w*z) / sum(w)`` — the formulation the reference documents for its
+    depth extraction (``DEPTH_EXTRACTION_README.md``: "depth = sum(w_i d_i) /
+    sum(w_i)"). The raw ``RenderOutputs.depth`` is the unnormalized
+    ``sum(w*z)`` the reference's code actually computes (``rendering.py:135``);
+    this helper provides the documented variant (background pixels read as
+    far-plane-ish instead of 0)."""
+    return out.depth / jnp.maximum(out.acc, eps)

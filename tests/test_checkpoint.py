@@ -61,3 +61,49 @@ def test_missing_leaf_raises(tmp_path):
     save_checkpoint(path, {"a": jnp.zeros(2)}, {})
     with pytest.raises(KeyError):
         restore_checkpoint(path, {"a": jnp.zeros(2), "b": jnp.zeros(2)})
+
+
+def test_resume_skips_corrupt_checkpoint(tmp_path):
+    """A truncated newest checkpoint must not kill resume — fall back to the
+    previous good one."""
+    import dataclasses
+
+    from nerf_tpu.config import Config, ModelConfig, RenderConfig, TrainConfig
+    from nerf_tpu.train.trainer import NeRFTrainer
+
+    cfg = Config(
+        model=ModelConfig(pos_freqs=2, dir_freqs=1, hidden_dim=16,
+                          n_layers=2, skip_layer=1, color_hidden_dim=8),
+        render=RenderConfig(n_coarse=4, n_fine=4),
+        train=TrainConfig(n_rays=16, compute_dtype="float32"),
+        checkpoint_dir=str(tmp_path),
+    )
+    t = NeRFTrainer(cfg, (8, 8))
+    t.train_losses = [0.5, 0.4]
+    good = t.save_checkpoint("checkpoint_epoch_2.npz")
+    # newer but corrupt
+    bad = tmp_path / "checkpoint_epoch_5.npz"
+    bad.write_bytes(b"this is not an npz file")
+
+    t2 = NeRFTrainer(cfg, (8, 8))
+    resumed = t2.try_resume()
+    assert resumed == good
+    assert t2.train_losses == [0.5, 0.4]
+
+
+def test_resume_all_corrupt_returns_none(tmp_path):
+    import dataclasses
+
+    from nerf_tpu.config import Config, ModelConfig, RenderConfig, TrainConfig
+    from nerf_tpu.train.trainer import NeRFTrainer
+
+    cfg = Config(
+        model=ModelConfig(pos_freqs=2, dir_freqs=1, hidden_dim=16,
+                          n_layers=2, skip_layer=1, color_hidden_dim=8),
+        render=RenderConfig(n_coarse=4, n_fine=4),
+        train=TrainConfig(n_rays=16, compute_dtype="float32"),
+        checkpoint_dir=str(tmp_path),
+    )
+    (tmp_path / "checkpoint_epoch_1.npz").write_bytes(b"junk")
+    t = NeRFTrainer(cfg, (8, 8))
+    assert t.try_resume() is None

@@ -133,3 +133,21 @@ def test_volume_render_differentiable(rays):
     g = jax.grad(loss)(jnp.ones(z.shape))
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_normalized_depth(rays):
+    from nerf_tpu.utils.rendering import normalized_depth
+
+    rays_o, rays_d = rays
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    _, z = sample_points_on_rays(rays_o, rays_d, 2.0, 6.0, 8)
+    # half-opaque uniform medium: raw depth underestimates, normalized
+    # depth recovers the expected-z under the weight distribution
+    sigma = jnp.full(z.shape, 0.2)
+    rgb = jnp.ones((32, 8, 3))
+    out = volume_render(sigma, rgb, z, rays_d)
+    nd = normalized_depth(out)
+    assert bool(jnp.all(nd >= out.depth - 1e-5))
+    np.testing.assert_allclose(
+        np.asarray(nd), np.asarray(out.depth / out.acc), rtol=1e-5
+    )
