@@ -265,7 +265,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--weights", default="bmild",
                    help="'bmild', a .npy, or a .npz checkpoint")
     r.add_argument("--engine", default="pallas",
-                   choices=["xla", "pallas", "compressed"])
+                   choices=["xla", "pallas", "compressed", "accel"])
     r.add_argument("--width", type=int, default=400)
     r.add_argument("--height", type=int, default=400)
     r.add_argument("--samples", type=int, default=64)

@@ -1,0 +1,119 @@
+"""Occupancy-grid accelerated sampling — empty-space skipping, TPU style.
+
+Beyond-reference optimization (the reference samples uniformly along every
+ray, ``base_renderer.py:260-281``): a dense density grid baked from the
+trained model marks which cells of the scene AABB contain matter. At render
+time each ray probes the grid at many cheap positions (a memory gather — ~4
+bytes vs the ~1 MFLOP MLP evaluation) and concentrates its *actual* MLP
+samples in occupied regions via the same inverse-CDF machinery as
+hierarchical sampling. Empty space costs gathers, not network evaluations.
+
+This is the TPU-shaped version of occupancy-grid/early-termination
+acceleration (NerfAcc-style): per-sample *skipping* is a scalar-loop concept
+that does not map to SIMD hardware, but per-ray *redistribution* of a fixed
+sample budget is dense, static-shaped, and jit-friendly — same budget, spent
+where the scene is.
+
+Output is quality-gated, not bit-identical: a different (better-placed)
+sample distribution produces slightly different pixels than uniform
+sampling; the accel engine is therefore PSNR-gated against the XLA engine in
+the benchmark suite rather than allclose-gated.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_tpu.config import ModelConfig
+from nerf_tpu.models.nerf import NeRFParams, apply_nerf
+from nerf_tpu.utils.rendering import sample_pdf
+
+
+class OccupancyGrid(NamedTuple):
+    occupancy: jnp.ndarray   # [G^3] float32 in {0, 1} (flat, x-major)
+    aabb_lo: jnp.ndarray     # [3]
+    aabb_hi: jnp.ndarray     # [3]
+    resolution: int
+
+
+def build_occupancy_grid(
+    params: NeRFParams,
+    cfg: ModelConfig,
+    resolution: int = 128,
+    aabb: Tuple[float, float] = (-1.5, 1.5),
+    density_threshold: float = 5.0,
+    apply_fn=apply_nerf,
+    chunk: int = 1 << 18,
+    compute_dtype=jnp.bfloat16,
+) -> OccupancyGrid:
+    """Bake a boolean occupancy grid by evaluating the model's density at
+    every cell center (one dense pass; ~2M evaluations at G=128 — a fraction
+    of a single frame's cost). Density is thresholded post-ReLU."""
+    g = resolution
+    lo, hi = float(aabb[0]), float(aabb[1])
+    centers = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g * (hi - lo) + lo
+    X, Y, Z = jnp.meshgrid(centers, centers, centers, indexing="ij")
+    pts = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)       # [G^3, 3]
+
+    @jax.jit
+    def eval_chunk(p):
+        sigma, _ = apply_fn(params, p, jnp.zeros_like(p), cfg,
+                            compute_dtype=compute_dtype)
+        return jax.nn.relu(sigma)
+
+    n = pts.shape[0]
+    occ = []
+    for i in range(0, n, chunk):
+        occ.append(eval_chunk(pts[i : i + chunk]))
+    sigma = jnp.concatenate(occ)
+    occupancy = (sigma > density_threshold).astype(jnp.float32)
+    return OccupancyGrid(
+        occupancy=occupancy,
+        aabb_lo=jnp.full((3,), lo),
+        aabb_hi=jnp.full((3,), hi),
+        resolution=g,
+    )
+
+
+def query_occupancy(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell occupancy lookup for ``points [..., 3]`` -> [...] in
+    {0, 1}; out-of-AABB points read 0."""
+    g = grid.resolution
+    t = (points - grid.aabb_lo) / (grid.aabb_hi - grid.aabb_lo)
+    idx = jnp.floor(t * g).astype(jnp.int32)
+    in_bounds = jnp.all((idx >= 0) & (idx < g), axis=-1)
+    idx = jnp.clip(idx, 0, g - 1)
+    flat = (idx[..., 0] * g + idx[..., 1]) * g + idx[..., 2]
+    occ = jnp.take(grid.occupancy, flat.reshape(-1), axis=0).reshape(flat.shape)
+    return occ * in_bounds.astype(occ.dtype)
+
+
+def grid_guided_z_vals(
+    grid: OccupancyGrid,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    n_samples: int,
+    n_probe: int = 128,
+    key: Optional[jax.Array] = None,
+    floor: float = 1e-3,
+) -> jnp.ndarray:
+    """Place ``n_samples`` depths per ray, concentrated where the occupancy
+    grid says the scene is. ``n_probe`` uniform gather-probes per ray build a
+    piecewise-constant occupancy pdf; ``floor`` keeps a small uniform
+    component so fully-probed-empty rays degrade to uniform sampling (and
+    thin features missed by probing still get some coverage)."""
+    t = (jnp.arange(n_probe, dtype=jnp.float32) + 0.5) / n_probe
+    z_probe = near + (far - near) * t                       # [P]
+    z_probe = jnp.broadcast_to(z_probe, (rays_o.shape[0], n_probe))
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None]
+    occ = query_occupancy(grid, pts)                        # [N, P]
+    weights = occ + floor
+    z = sample_pdf(z_probe, weights, n_samples, key=key,
+                   deterministic=(key is None))
+    return jnp.sort(z, axis=-1)

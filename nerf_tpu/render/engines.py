@@ -116,6 +116,12 @@ class Engine:
         """Optional compositor override (None -> jnp ``volume_render``)."""
         return None
 
+    def z_sampler(self):
+        """Optional depth-placement override for benchmark mode:
+        ``fn(rays_o, rays_d, spp, rcfg) -> z_vals [N, spp]`` (None -> uniform
+        stratified, the reference's scheme)."""
+        return None
+
     @classmethod
     def is_available(cls) -> bool:
         return True
@@ -137,6 +143,7 @@ class Engine:
         n_pad = ((n + chunk - 1) // chunk) * chunk
         apply_fn = self.apply_fn()
         composite_fn = self.composite_fn()
+        z_sampler = self.z_sampler()
         dt = jnp.dtype(cfg.train.compute_dtype)
 
         if mode == "benchmark":
@@ -176,9 +183,13 @@ class Engine:
                         volume_render,
                     )
 
-                    pts, z = sample_points_on_rays(
-                        ro, rd, rcfg.near, rcfg.far, spp
-                    )
+                    if z_sampler is not None:
+                        z = z_sampler(ro, rd, spp, rcfg)
+                        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+                    else:
+                        pts, z = sample_points_on_rays(
+                            ro, rd, rcfg.near, rcfg.far, spp
+                        )
                     dirs = jnp.broadcast_to(rd[:, None, :], pts.shape)
                     sigma, rgb = apply_fn(params["fine"], pts, dirs, cfg.model,
                                           compute_dtype=dt)
@@ -325,10 +336,55 @@ class CompressedEngine(Engine):
         )
 
 
+class AccelEngine(PallasEngine):
+    name = "accel"
+    description = ("occupancy-grid accelerated: fused Pallas MLP + grid-guided "
+                   "sample placement (empty-space skipping)")
+
+    def __init__(self, shared: SharedModel, chunk_rays: int = 16384,
+                 grid_resolution: int = 128, density_threshold: float = 5.0,
+                 aabb: Tuple[float, float] = (-1.5, 1.5), n_probe: int = 128,
+                 **kw):
+        super().__init__(shared, chunk_rays, **kw)
+        self.grid_resolution = grid_resolution
+        self.density_threshold = density_threshold
+        self.aabb = aabb
+        self.n_probe = n_probe
+        self._grid = None
+
+    def occupancy_grid(self):
+        if self._grid is None:
+            from nerf_tpu.ops.occupancy import build_occupancy_grid
+
+            # grid baking uses the XLA evaluator: one-time cost, runs
+            # identically on every backend (incl. CPU tests)
+            self._grid = build_occupancy_grid(
+                self.engine_params()["fine"], self.cfg.model,
+                resolution=self.grid_resolution,
+                aabb=self.aabb,
+                density_threshold=self.density_threshold,
+            )
+        return self._grid
+
+    def z_sampler(self):
+        from nerf_tpu.ops.occupancy import grid_guided_z_vals
+
+        grid = self.occupancy_grid()
+        n_probe = self.n_probe
+
+        def fn(ro, rd, spp, rcfg):
+            return grid_guided_z_vals(
+                grid, ro, rd, rcfg.near, rcfg.far, spp, n_probe=n_probe
+            )
+
+        return fn
+
+
 ENGINE_CLASSES = {
     "xla": XLAEngine,
     "pallas": PallasEngine,
     "compressed": CompressedEngine,
+    "accel": AccelEngine,
 }
 
 
