@@ -222,6 +222,60 @@ def cmd_scale(args) -> int:
     return 0
 
 
+def cmd_smoke(args) -> int:
+    """Fast end-to-end sanity check: tiny procedural train -> checkpoint ->
+    resume -> render -> mini benchmark. The reference's test orchestrator
+    references a ``smoke_test.py`` that is absent from its repo
+    (``run_tests.py:49``, SURVEY.md §4); this is that capability, real."""
+    import tempfile
+    import dataclasses
+
+    import numpy as np
+
+    from nerf_tpu.bench.suite import UnifiedBenchmarkSuite
+    from nerf_tpu.config import Config, ModelConfig, RenderConfig, TrainConfig
+    from nerf_tpu.data.synthetic import make_procedural_dataset
+    from nerf_tpu.train import NeRFTrainer
+
+    t0 = __import__("time").time()
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = Config(
+            model=ModelConfig(pos_freqs=4, dir_freqs=2, hidden_dim=32,
+                              n_layers=4, skip_layer=2, color_hidden_dim=16),
+            render=RenderConfig(n_coarse=8, n_fine=12),
+            train=TrainConfig(n_rays=128, compute_dtype="float32",
+                              learning_rate=5e-3, checkpoint_frequency=1),
+            checkpoint_dir=f"{tmp}/ckpt",
+            output_dir=f"{tmp}/out",
+        )
+        ds = make_procedural_dataset(n_views=4, img_wh=(32, 32))
+        trainer = NeRFTrainer(cfg, (32, 32))
+        trainer.train(ds, n_epochs=2, log_fn=lambda m: print(f"  {m}"))
+        assert len(trainer.train_losses) == 2
+        print("  train OK")
+
+        trainer2 = NeRFTrainer(cfg, (32, 32))
+        assert trainer2.try_resume() is not None
+        print("  resume OK")
+
+        rgb, depth = trainer.render_image(
+            trainer.state.params, ds[0]["pose"], (32, 32), float(ds.focal)
+        )
+        assert np.all(np.isfinite(np.asarray(rgb)))
+        print("  render OK")
+
+        suite = UnifiedBenchmarkSuite(cfg, output_dir=f"{tmp}/out")
+        suite.add_available_renderers(names=["xla"])
+        results = suite.run_benchmark(
+            None, resolutions=[(32, 24)], samples=[8], n_views=1,
+            save_sample_renders=False,
+        )
+        assert results and results[0].success
+        print("  benchmark OK")
+    print(f"smoke test passed in {__import__('time').time() - t0:.1f}s")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """Reference ``main.py`` behavior: train (unless skipped) then benchmark."""
     if not args.benchmark_only and not args.skip_training:
@@ -286,6 +340,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--samples", type=int, default=32)
     c.add_argument("--output_dir", default="outputs")
     c.set_defaults(fn=cmd_compare)
+
+    sm = sub.add_parser("smoke", help="fast end-to-end sanity check")
+    sm.set_defaults(fn=cmd_smoke)
 
     s = sub.add_parser("scale", help="multi-device scaling report")
     s.add_argument("--checkpoint", default="bmild")
