@@ -25,7 +25,12 @@ from typing import List, Optional
 
 import numpy as np
 
-BMILD_DEFAULT = "/root/reference/data/lego_example_weights/model_fine_200000.npy"
+# The bundled original-NeRF lego example weights. Overridable for standalone
+# deployments (the default points at the reference checkout used in CI).
+BMILD_DEFAULT = os.environ.get(
+    "NERF_TPU_EXAMPLE_WEIGHTS",
+    "/root/reference/data/lego_example_weights/model_fine_200000.npy",
+)
 
 
 def _parse_resolutions(vals: List[str]):
@@ -222,6 +227,46 @@ def cmd_scale(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Cross-framework interop: convert our .npz checkpoint to the
+    reference's torch .pth format (coarse+fine state_dicts + config), so a
+    reference-repo user can consume models trained here."""
+    import torch
+
+    from nerf_tpu.config import Config
+    from nerf_tpu.models.nerf import params_to_torch_state_dict
+    from nerf_tpu.train.checkpoint import restore_checkpoint
+    from nerf_tpu.train.trainer import init_train_state
+
+    import jax
+
+    with __import__("numpy").load(args.checkpoint) as data:
+        import json as _json
+
+        meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+    cfg = Config.from_dict(meta.get("config", {}))
+    template = init_train_state(jax.random.PRNGKey(0), cfg)
+    state, meta = restore_checkpoint(args.checkpoint, template)
+
+    payload = {
+        "coarse_model": {
+            k: torch.from_numpy(v.copy())
+            for k, v in params_to_torch_state_dict(state.params["coarse"]).items()
+        },
+        "fine_model": {
+            k: torch.from_numpy(v.copy())
+            for k, v in params_to_torch_state_dict(state.params["fine"]).items()
+        },
+        "config": meta.get("config", {}),
+        "train_losses": meta.get("train_losses", []),
+        "val_losses": meta.get("val_losses", []),
+    }
+    torch.save(payload, args.out)
+    print(f"exported {args.checkpoint} -> {args.out} "
+          f"(reference-compatible state_dict format)")
+    return 0
+
+
 def cmd_smoke(args) -> int:
     """Fast end-to-end sanity check: tiny procedural train -> checkpoint ->
     resume -> render -> mini benchmark. The reference's test orchestrator
@@ -343,6 +388,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sm = sub.add_parser("smoke", help="fast end-to-end sanity check")
     sm.set_defaults(fn=cmd_smoke)
+
+    ex = sub.add_parser("export", help="convert .npz checkpoint to torch .pth")
+    ex.add_argument("--checkpoint", required=True)
+    ex.add_argument("--out", required=True)
+    ex.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("scale", help="multi-device scaling report")
     s.add_argument("--checkpoint", default="bmild")
