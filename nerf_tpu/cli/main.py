@@ -70,7 +70,13 @@ def cmd_train(args) -> int:
                                          split="val")
 
     trainer = NeRFTrainer(cfg, (h, w))
-    trainer.train(train_ds, val_ds, n_epochs=args.epochs, resume=not args.no_resume)
+    if args.streaming_steps:
+        if not args.no_resume:
+            trainer.try_resume()
+        trainer.train_streaming(train_ds, n_steps=args.streaming_steps)
+    else:
+        trainer.train(train_ds, val_ds, n_epochs=args.epochs,
+                      resume=not args.no_resume)
     path = trainer.save_checkpoint("final_model.npz")
     trainer.plot_losses()
     print(f"final checkpoint: {path}")
@@ -348,6 +354,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=100)
     t.add_argument("--image_size", type=int, default=400)
     t.add_argument("--no_resume", action="store_true")
+    t.add_argument("--streaming_steps", type=int, default=0,
+                   help="train N steps from the native host ray producer "
+                        "instead of the per-image epoch loop")
     t.set_defaults(fn=cmd_train)
 
     b = sub.add_parser("benchmark", help="run the unified benchmark")

@@ -134,6 +134,9 @@ def _pallas_composite(
             jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(*args)
     return out[:n], w[:n]

@@ -355,6 +355,11 @@ def _pallas_forward(
         ],
         out_specs=pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        # sample blocks are independent -> split the grid across both TPU
+        # megacores (unmarked dims run sequentially on one core)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(pos4, dir4, *weight_arrays)
     return out[:n]

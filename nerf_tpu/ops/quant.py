@@ -274,6 +274,9 @@ def quantized_nerf_apply(
         ],
         out_specs=pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(pos4, dir4, *weight_arrays)
 

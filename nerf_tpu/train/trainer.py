@@ -137,6 +137,53 @@ def make_train_step(cfg: Config, img_hw: Tuple[int, int], apply_fn=apply_nerf,
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
+def make_ray_train_step(cfg: Config, apply_fn=apply_nerf, donate: bool = True,
+                        ray_sharding=None):
+    """Train step over pre-assembled ray batches: ``step_fn(state,
+    rays_o [R,3], rays_d [R,3], target [R,3], key) -> (state, metrics)``.
+
+    The streaming twin of ``make_train_step``: ray selection happens on the
+    host (the native producer, ``runtime.RayBatchSampler``) instead of
+    on-device — the right split when images are too many to keep in HBM or
+    when a CPU host feeds multiple chips.
+    """
+    optimizer = make_optimizer(cfg)
+    dt = jnp.dtype(cfg.train.compute_dtype)
+
+    def loss_fn(params, rays_o, rays_d, target, key):
+        result = render_rays(
+            params["coarse"], params["fine"], rays_o, rays_d,
+            cfg.model, cfg.render, key=key,
+            perturb=cfg.render.perturb, compute_dtype=dt, apply_fn=apply_fn,
+        )
+        loss_c = jnp.mean((result.coarse.rgb - target) ** 2)
+        loss_f = jnp.mean((result.fine.rgb - target) ** 2)
+        return loss_c + loss_f, (loss_c, loss_f)
+
+    def step_fn(state: TrainState, rays_o, rays_d, target, key):
+        if ray_sharding is not None:
+            rays_o = jax.lax.with_sharding_constraint(rays_o, ray_sharding)
+            rays_d = jax.lax.with_sharding_constraint(rays_d, ray_sharding)
+            target = jax.lax.with_sharding_constraint(target, ray_sharding)
+        (loss, (loss_c, loss_f)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, rays_o, rays_d, target, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "loss_coarse": loss_c,
+            "loss_fine": loss_f,
+            "psnr": psnr_from_mse(loss_f),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
 def make_eval_render(cfg: Config, n_rays_chunk: int, apply_fn=apply_nerf):
     """Jitted chunk renderer for validation / full-image rendering: fixed
     chunk shape (callers pad), deterministic sampling, fine output only."""
@@ -248,6 +295,34 @@ class NeRFTrainer:
             losses.append(metrics["loss"])
         # one host sync per epoch, not per step
         return float(jnp.mean(jnp.stack(losses)))
+
+    def train_streaming(self, dataset, n_steps: int, log_every: int = 100,
+                        log_fn=print) -> float:
+        """Train from the native background ray producer (C++ runtime):
+        shuffled ray batches are pre-assembled on a host thread while the
+        device runs the previous step. Returns the final loss."""
+        from nerf_tpu.runtime import RayBatchSampler
+
+        step_fn = make_ray_train_step(self.cfg, self.apply_fn)
+        last = float("nan")
+        with RayBatchSampler(
+            dataset.images, dataset.poses, dataset.focal,
+            n_rays=self.cfg.train.n_rays, seed=self.cfg.train.seed,
+        ) as sampler:
+            for i in range(n_steps):
+                rays_o, rays_d, rgb = sampler.next_batch()
+                self.key, k = jax.random.split(self.key)
+                self.state, metrics = step_fn(
+                    self.state, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                    jnp.asarray(rgb), k,
+                )
+                if (i + 1) % log_every == 0:
+                    last = float(metrics["loss"])
+                    log_fn(f"step {i + 1}/{n_steps} loss={last:.6f}")
+        if last != last:  # no log point hit: sync once at the end
+            last = float(metrics["loss"])
+        self.train_losses.append(last)
+        return last
 
     def validate(self, dataset) -> float:
         n = min(len(dataset), self.cfg.train.max_val_images)

@@ -109,3 +109,16 @@ def test_lr_schedule_matches_reference_formula():
             t / cfg.train.lr_decay_steps
         )
         np.testing.assert_allclose(float(sched(t)), expected, rtol=1e-5)
+
+
+def test_streaming_training_with_native_sampler(ds):
+    """Train from the C++ background ray producer; loss must descend."""
+    cfg = tiny_config()
+    trainer = NeRFTrainer(cfg, (48, 48))
+    logs = []
+    first = trainer.train_streaming(ds, n_steps=20, log_every=10,
+                                    log_fn=logs.append)
+    last = trainer.train_streaming(ds, n_steps=180, log_every=90,
+                                   log_fn=logs.append)
+    assert last < first, f"no descent: {first} -> {last}"
+    assert len(logs) == 4
