@@ -62,8 +62,8 @@ HID = 256  # kernel specializes the reference width; asserted in pack_params
 class PackedWeights(NamedTuple):
     """Kernel-layout weights. All [in, out]; lane dims padded as noted."""
 
-    f_pos: jnp.ndarray    # [4, 3*Lp]   phase matrix for positions (row 3 = 0 pad)
-    f_dir: jnp.ndarray    # [4, 3*Ld]   phase matrix for directions
+    f_pos: jnp.ndarray    # [3, 3*Lp]   phase matrix for positions
+    f_dir: jnp.ndarray    # [3, 3*Ld]   phase matrix for directions
     w0: jnp.ndarray       # [enc_pad, 256]  first trunk layer, rows permuted to kernel enc layout
     b0: jnp.ndarray       # [1, 256]
     wt: jnp.ndarray       # [7, 256, 256]   trunk layers 1..7 (h-part at the skip)
@@ -101,10 +101,10 @@ def _enc_perm(L: int) -> np.ndarray:
 
 
 def _phase_matrix(L: int, include_pi: bool) -> np.ndarray:
-    """F [4, 3L] with F[j, j*L + i] = 2^i (*pi). Row 3 is zero padding so the
-    kernel can feed the [B, 4]-padded input straight in."""
+    """F [3, 3L] with F[j, j*L + i] = 2^i (*pi): one tiny matmul turns raw
+    xyz into all sin/cos phases in the kernel's coordinate-major layout."""
     freqs = (2.0 ** np.arange(L)) * (np.pi if include_pi else 1.0)
-    F = np.zeros((4, 3 * L), np.float32)
+    F = np.zeros((3, 3 * L), np.float32)
     for j in range(3):
         F[j, j * L : (j + 1) * L] = freqs
     return F
@@ -206,22 +206,27 @@ def pack_params(
 
 
 def _nerf_math(
-    pos4, dir4, w: Dict[str, Any], *,
+    pos3, dir3, w: Dict[str, Any], *,
     variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+    normalize_dirs: bool = False,
 ):
     """The full network on loaded arrays (shared by the plain kernel and the
     int8-dequant kernel in ``ops/quant.py``). ``w`` maps PackedWeights field
-    names to in-VMEM arrays. Returns [B, 4] = (sigma, rgb)."""
+    names to in-VMEM arrays. Inputs are raw [B, 3] coords; direction
+    normalization (when the variant wants it) happens here, on-chip — doing
+    it in XLA on the broadcast per-sample array costs a full extra HBM pass
+    over 12 bytes/sample (it showed up as ~13% of frame time in profiles).
+    Returns [B, 4] = (sigma, rgb)."""
 
-    def encode(x4_f32, f, L, pad_to):
-        """[B, 4] padded coords -> [B, pad_to] kernel-layout encoding."""
-        p = jnp.dot(x4_f32, f, preferred_element_type=jnp.float32)
-        zeros = jnp.zeros((x4_f32.shape[0], pad_to - (3 + 6 * L)), jnp.float32)
+    def encode(x3_f32, f, L, pad_to):
+        """[B, 3] coords -> [B, pad_to] kernel-layout encoding."""
+        p = jnp.dot(x3_f32, f, preferred_element_type=jnp.float32)
+        zeros = jnp.zeros((x3_f32.shape[0], pad_to - (3 + 6 * L)), jnp.float32)
         return jnp.concatenate(
-            [x4_f32[:, :3], jnp.sin(p), jnp.cos(p), zeros], axis=-1
+            [x3_f32, jnp.sin(p), jnp.cos(p), zeros], axis=-1
         )
 
-    pos = pos4.astype(jnp.float32)                     # [B, 4]
+    pos = pos3.astype(jnp.float32)                     # [B, 3]
     enc = encode(pos, w["f_pos"], Lp, w["w0"].shape[0]).astype(dtype)
 
     # MXU matmuls accumulate in f32 (a Mosaic requirement); bias+relu on the
@@ -244,7 +249,12 @@ def _nerf_math(
     if relu_sigma:
         sigma = jax.nn.relu(sigma)
 
-    dirv = dir4.astype(jnp.float32)                    # [B, 4]
+    dirv = dir3.astype(jnp.float32)                    # [B, 3]
+    if normalize_dirs:
+        inv = jax.lax.rsqrt(
+            jnp.sum(dirv * dirv, axis=-1, keepdims=True) + 1e-12
+        )
+        dirv = dirv * inv
     denc = encode(dirv, w["f_dir"], Ld, w["wdir"].shape[0]).astype(dtype)
     cdir = jnp.dot(denc, w["wdir"], preferred_element_type=jnp.float32)
 
@@ -270,6 +280,7 @@ def _nerf_kernel(
     pos_ref, dir_ref, f_pos_ref, f_dir_ref, w0_ref, b0_ref, wt_ref, bt_ref,
     wskip_ref, whead_ref, bhead_ref, wdir_ref, *rest,
     variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+    normalize_dirs: bool,
 ):
     if variant == "bmild":
         wc0_ref, bc0_ref, wc1_ref, bc1_ref, out_ref = rest
@@ -287,6 +298,7 @@ def _nerf_kernel(
     out_ref[:] = _nerf_math(
         pos_ref[:], dir_ref[:], w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+        normalize_dirs=normalize_dirs,
     )
 
 
@@ -302,11 +314,16 @@ def _pallas_forward(
     n = positions.shape[0]
     n_pad = _round_up(max(n, block), block)
 
-    def pad4(x):
-        out = jnp.zeros((n_pad, 4), jnp.float32)
-        return out.at[:n, :3].set(x)
+    def pad_rows(x):
+        # single pad op (a zeros+scatter formulation lowers to pad/slice
+        # chains costing a full extra HBM pass — seen in profiles)
+        if n_pad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, 3), jnp.float32)], axis=0
+        )
 
-    pos4, dir4 = pad4(positions), pad4(directions)
+    pos3, dir3 = pad_rows(positions), pad_rows(directions)
     skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
 
     # block-resident inputs: samples stream [block, 4]; weights whole-array
@@ -343,14 +360,15 @@ def _pallas_forward(
         Ld=cfg.dir_freqs,
         relu_sigma=(cfg.variant == "reference"),
         dtype=dtype,
+        normalize_dirs=cfg.normalize_dirs,
     )
 
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // block,),
         in_specs=[
-            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 3), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 3), stream, memory_space=pltpu.VMEM),
             *weight_specs,
         ],
         out_specs=pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
@@ -361,7 +379,7 @@ def _pallas_forward(
             dimension_semantics=("parallel",)
         ),
         interpret=interpret,
-    )(pos4, dir4, *weight_arrays)
+    )(pos3, dir3, *weight_arrays)
     return out[:n]
 
 
@@ -387,10 +405,9 @@ def fused_nerf_apply(
     if directions is None:
         dirs = jnp.zeros_like(pos)
     else:
+        # normalization (when cfg.normalize_dirs) happens inside the kernel
         dirs = jnp.broadcast_to(directions, positions.shape).reshape(-1, 3)
         dirs = dirs.astype(jnp.float32)
-        if cfg.normalize_dirs:
-            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     packed = pack_params(params, cfg, dtype=dtype)
     out = _pallas_forward(packed, pos, dirs, cfg, block, dtype, interpret)
     sigma = out[:, 0].reshape(lead)

@@ -170,6 +170,7 @@ def _quant_kernel(
     w0q_ref, w0s_ref, b0_ref, wtq_ref, wts_ref, bt_ref,
     wskq_ref, wsks_ref, whq_ref, whs_ref, bhead_ref, wdq_ref, wds_ref, *rest,
     variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+    normalize_dirs: bool,
 ):
     if variant == "bmild":
         wc0q_ref, wc0s_ref, bc0_ref, wc1q_ref, wc1s_ref, bc1_ref, out_ref = rest
@@ -204,6 +205,7 @@ def _quant_kernel(
     out_ref[:] = _nerf_math(
         pos_ref[:], dir_ref[:], w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+        normalize_dirs=normalize_dirs,
     )
 
 
@@ -223,19 +225,21 @@ def quantized_nerf_apply(
     if directions is None:
         dirs = jnp.zeros_like(pos)
     else:
+        # normalization (when cfg.normalize_dirs) happens inside the kernel
         dirs = jnp.broadcast_to(directions, positions.shape).reshape(-1, 3)
         dirs = dirs.astype(jnp.float32)
-        if cfg.normalize_dirs:
-            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
     n = pos.shape[0]
     n_pad = _round_up(max(n, block), block)
 
-    def pad4(x):
-        out = jnp.zeros((n_pad, 4), jnp.float32)
-        return out.at[:n, :3].set(x)
+    def pad_rows(x):
+        if n_pad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, 3), jnp.float32)], axis=0
+        )
 
-    pos4, dir4 = pad4(pos), pad4(dirs)
+    pos3, dir3 = pad_rows(pos), pad_rows(dirs)
     skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
 
     weight_arrays = [
@@ -262,14 +266,15 @@ def quantized_nerf_apply(
         Ld=cfg.dir_freqs,
         relu_sigma=(cfg.variant == "reference"),
         dtype=dtype,
+        normalize_dirs=cfg.normalize_dirs,
     )
     stream = lambda i: (i, 0)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // block,),
         in_specs=[
-            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 3), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 3), stream, memory_space=pltpu.VMEM),
             *weight_specs,
         ],
         out_specs=pl.BlockSpec((block, 4), stream, memory_space=pltpu.VMEM),
@@ -278,7 +283,7 @@ def quantized_nerf_apply(
             dimension_semantics=("parallel",)
         ),
         interpret=interpret,
-    )(pos4, dir4, *weight_arrays)
+    )(pos3, dir3, *weight_arrays)
 
     sigma = out[:n, 0].reshape(lead)
     rgb = out[:n, 1:4].reshape(*lead, 3)

@@ -122,6 +122,14 @@ class Engine:
         stratified, the reference's scheme)."""
         return None
 
+    def sample_eval_fn(self):
+        """Optional fully-fused sample-generation + evaluation for the
+        uniform benchmark path: ``fn(params, ro, rd, near, far, spp) ->
+        (sigma [N,S], rgb [N,S,3], z [N,S])`` (None -> XLA sampling + the
+        engine's apply_fn). Only consulted when no z_sampler overrides the
+        depth placement."""
+        return None
+
     @classmethod
     def is_available(cls) -> bool:
         return True
@@ -144,6 +152,7 @@ class Engine:
         apply_fn = self.apply_fn()
         composite_fn = self.composite_fn()
         z_sampler = self.z_sampler()
+        sample_eval_fn = self.sample_eval_fn()
         dt = jnp.dtype(cfg.train.compute_dtype)
 
         if mode == "benchmark":
@@ -186,13 +195,20 @@ class Engine:
                     if z_sampler is not None:
                         z = z_sampler(ro, rd, spp, rcfg)
                         pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+                        dirs = jnp.broadcast_to(rd[:, None, :], pts.shape)
+                        sigma, rgb = apply_fn(params["fine"], pts, dirs,
+                                              cfg.model, compute_dtype=dt)
+                    elif sample_eval_fn is not None:
+                        sigma, rgb, z = sample_eval_fn(
+                            params["fine"], ro, rd, rcfg.near, rcfg.far, spp
+                        )
                     else:
                         pts, z = sample_points_on_rays(
                             ro, rd, rcfg.near, rcfg.far, spp
                         )
-                    dirs = jnp.broadcast_to(rd[:, None, :], pts.shape)
-                    sigma, rgb = apply_fn(params["fine"], pts, dirs, cfg.model,
-                                          compute_dtype=dt)
+                        dirs = jnp.broadcast_to(rd[:, None, :], pts.shape)
+                        sigma, rgb = apply_fn(params["fine"], pts, dirs,
+                                              cfg.model, compute_dtype=dt)
                     if composite_fn is not None:
                         out = composite_fn(sigma, rgb, z, rd, rcfg)
                     else:
@@ -293,6 +309,19 @@ class PallasEngine(Engine):
         def fn(sigma, rgb, z, rd, rcfg):
             return fused_volume_render(sigma, rgb, z, rd, rcfg,
                                        interpret=interpret)
+
+        return fn
+
+    def sample_eval_fn(self):
+        from nerf_tpu.ops.render_kernel import fused_render_samples
+
+        interpret = self._interpret
+        mcfg = self.cfg.model
+
+        def fn(params, ro, rd, near, far, spp):
+            return fused_render_samples(
+                params, ro, rd, near, far, spp, mcfg, interpret=interpret
+            )
 
         return fn
 

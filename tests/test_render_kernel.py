@@ -1,0 +1,77 @@
+"""Ray-blocked fused render kernel: parity with the XLA sample-then-evaluate
+path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_tpu.config import ModelConfig, bmild_config
+from nerf_tpu.models import apply_nerf, init_nerf_params, load_bmild_weights
+from nerf_tpu.ops.render_kernel import fused_render_samples
+from nerf_tpu.utils.rendering import sample_points_on_rays
+
+BMILD_WEIGHTS = "/root/reference/data/lego_example_weights/model_fine_200000.npy"
+
+
+@pytest.fixture(scope="module")
+def rays():
+    key = jax.random.PRNGKey(0)
+    rays_o = jnp.zeros((50, 3)).at[:, 2].set(4.0)
+    rays_d = jax.random.normal(key, (50, 3)) * jnp.asarray([0.2, 0.2, 1.0])
+    rays_d = rays_d.at[:, 2].set(-jnp.abs(rays_d[:, 2]) - 0.5)
+    return rays_o, rays_d
+
+
+def _xla_reference(params, cfg, rays_o, rays_d, S):
+    pts, z = sample_points_on_rays(rays_o, rays_d, 2.0, 6.0, S)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    sigma, rgb = apply_nerf(params, pts, dirs, cfg)
+    return sigma, rgb, z
+
+
+def test_matches_xla_path_reference_variant(rays):
+    rays_o, rays_d = rays
+    cfg = ModelConfig()
+    params = init_nerf_params(jax.random.PRNGKey(1), cfg)
+    s_ref, c_ref, z_ref = _xla_reference(params, cfg, rays_o, rays_d, 16)
+    s_k, c_k, z_k = fused_render_samples(
+        params, rays_o, rays_d, 2.0, 6.0, 16, cfg,
+        block_samples=128, dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_matches_xla_path_bmild_variant(rays):
+    """bmild variant includes the in-kernel direction normalization."""
+    rays_o, rays_d = rays
+    cfg = bmild_config().model
+    params = load_bmild_weights(BMILD_WEIGHTS)
+    s_ref, c_ref, z_ref = _xla_reference(params, cfg, rays_o, rays_d, 12)
+    s_k, c_k, _ = fused_render_samples(
+        params, rays_o, rays_d, 2.0, 6.0, 12, cfg,
+        block_samples=96, dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_ray_count_padding(rays):
+    rays_o, rays_d = rays
+    cfg = ModelConfig()
+    params = init_nerf_params(jax.random.PRNGKey(2), cfg)
+    # 50 rays, block_rays = 128//8 = 16 -> pad to 64
+    s_ref, c_ref, _ = _xla_reference(params, cfg, rays_o, rays_d, 8)
+    s_k, c_k, _ = fused_render_samples(
+        params, rays_o, rays_d, 2.0, 6.0, 8, cfg,
+        block_samples=128, dtype=jnp.float32, interpret=True,
+    )
+    assert s_k.shape == (50, 8)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
