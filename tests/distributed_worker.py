@@ -9,6 +9,10 @@ the single-host stand-in for a multi-host TPU pod slice (SURVEY.md §5.8).
 import os
 import sys
 
+# The worker runs as a bare subprocess; make the repo importable even when
+# nerf_tpu isn't pip-installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
     coordinator, num_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
