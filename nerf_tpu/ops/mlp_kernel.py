@@ -205,10 +205,36 @@ def pack_params(
 # ---------------------------------------------------------------------------
 
 
+def _encode(x3_f32, f, L, pad_to):
+    """[B, 3] coords -> [B, pad_to] kernel-layout encoding."""
+    p = jnp.dot(x3_f32, f, preferred_element_type=jnp.float32)
+    zeros = jnp.zeros((x3_f32.shape[0], pad_to - (3 + 6 * L)), jnp.float32)
+    return jnp.concatenate([x3_f32, jnp.sin(p), jnp.cos(p), zeros], axis=-1)
+
+
+def _dir_branch(dir3, w: Dict[str, Any], *, Ld: int, dtype,
+                normalize_dirs: bool) -> jnp.ndarray:
+    """Direction branch up to the color-layer contribution:
+    normalize -> encode -> ``denc @ wdir``. Returns cdir [B, 128] f32.
+
+    Split out so callers whose directions are constant per *ray* (the
+    ray-blocked render kernel) can run it once per ray and repeat the 128-wide
+    result S-fold — the per-sample normalization + 27-wide encoding
+    transcendentals were ~19% of frame time."""
+    dirv = dir3.astype(jnp.float32)
+    if normalize_dirs:
+        inv = jax.lax.rsqrt(
+            jnp.sum(dirv * dirv, axis=-1, keepdims=True) + 1e-12
+        )
+        dirv = dirv * inv
+    denc = _encode(dirv, w["f_dir"], Ld, w["wdir"].shape[0]).astype(dtype)
+    return jnp.dot(denc, w["wdir"], preferred_element_type=jnp.float32)
+
+
 def _nerf_math(
     pos3, dir3, w: Dict[str, Any], *,
     variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
-    normalize_dirs: bool = False,
+    normalize_dirs: bool = False, cdir: Optional[jnp.ndarray] = None,
 ):
     """The full network on loaded arrays (shared by the plain kernel and the
     int8-dequant kernel in ``ops/quant.py``). ``w`` maps PackedWeights field
@@ -216,18 +242,12 @@ def _nerf_math(
     normalization (when the variant wants it) happens here, on-chip — doing
     it in XLA on the broadcast per-sample array costs a full extra HBM pass
     over 12 bytes/sample (it showed up as ~13% of frame time in profiles).
+    ``cdir`` (the precomputed direction-branch output, [B, 128] f32)
+    short-circuits the per-sample direction work; pass ``dir3=None`` then.
     Returns [B, 4] = (sigma, rgb)."""
 
-    def encode(x3_f32, f, L, pad_to):
-        """[B, 3] coords -> [B, pad_to] kernel-layout encoding."""
-        p = jnp.dot(x3_f32, f, preferred_element_type=jnp.float32)
-        zeros = jnp.zeros((x3_f32.shape[0], pad_to - (3 + 6 * L)), jnp.float32)
-        return jnp.concatenate(
-            [x3_f32, jnp.sin(p), jnp.cos(p), zeros], axis=-1
-        )
-
     pos = pos3.astype(jnp.float32)                     # [B, 3]
-    enc = encode(pos, w["f_pos"], Lp, w["w0"].shape[0]).astype(dtype)
+    enc = _encode(pos, w["f_pos"], Lp, w["w0"].shape[0]).astype(dtype)
 
     # MXU matmuls accumulate in f32 (a Mosaic requirement); bias+relu on the
     # VPU in f32, recast to the compute dtype at the next matmul input.
@@ -249,14 +269,9 @@ def _nerf_math(
     if relu_sigma:
         sigma = jax.nn.relu(sigma)
 
-    dirv = dir3.astype(jnp.float32)                    # [B, 3]
-    if normalize_dirs:
-        inv = jax.lax.rsqrt(
-            jnp.sum(dirv * dirv, axis=-1, keepdims=True) + 1e-12
-        )
-        dirv = dirv * inv
-    denc = encode(dirv, w["f_dir"], Ld, w["wdir"].shape[0]).astype(dtype)
-    cdir = jnp.dot(denc, w["wdir"], preferred_element_type=jnp.float32)
+    if cdir is None:
+        cdir = _dir_branch(dir3, w, Ld=Ld, dtype=dtype,
+                           normalize_dirs=normalize_dirs)
 
     if variant == "bmild":
         feat = hv[:, 1:]                               # bottleneck, no relu

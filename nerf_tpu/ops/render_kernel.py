@@ -27,7 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nerf_tpu.config import ModelConfig
 from nerf_tpu.models.nerf import NeRFParams
-from nerf_tpu.ops.mlp_kernel import PackedWeights, _nerf_math, _round_up, pack_params
+from nerf_tpu.ops.mlp_kernel import (
+    PackedWeights,
+    _dir_branch,
+    _nerf_math,
+    _round_up,
+    pack_params,
+)
 
 
 def _ray_kernel(
@@ -47,6 +53,22 @@ def _ray_kernel(
     d = d_ref[:]
     S = n_samples
     R_b = o.shape[0]
+
+    w = {
+        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:], "w0": w0_ref[:],
+        "b0": b0_ref[:], "wt": wt_ref, "bt": bt_ref, "wskip": wskip_ref[:],
+        "whead": whead_ref[:], "bhead": bhead_ref[:], "wdir": wdir_ref[:],
+        "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
+    }
+
+    # Direction branch once per RAY (directions are constant along a ray),
+    # then repeat the 128-wide result S-fold — the per-sample normalization,
+    # 27-wide encoding transcendentals, and wdir matmul were ~19% of frame
+    # time when done per sample.
+    cdir_ray = _dir_branch(d, w, Ld=Ld, dtype=dtype,
+                           normalize_dirs=normalize_dirs)   # [R_b, 128]
+    cdir = pltpu.repeat(cdir_ray, S, axis=0)                # [R_b*S, 128]
+
     # pltpu.repeat tiles the whole array: block layout is s-major,
     # row n = s * R_b + r  (ray r = n % R_b, sample s = n // R_b)
     o_rep = pltpu.repeat(o, S, axis=0)             # [R_b*S, 3]
@@ -57,16 +79,10 @@ def _ray_kernel(
     z = near + (far - near) * t                    # [B, 1]
     pos = o_rep + d_rep * z
 
-    w = {
-        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:], "w0": w0_ref[:],
-        "b0": b0_ref[:], "wt": wt_ref, "bt": bt_ref, "wskip": wskip_ref[:],
-        "whead": whead_ref[:], "bhead": bhead_ref[:], "wdir": wdir_ref[:],
-        "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
-    }
     out_ref[:] = _nerf_math(
-        pos, d_rep, w, variant=variant, skip_pos=skip_pos,
+        pos, None, w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
-        normalize_dirs=normalize_dirs,
+        normalize_dirs=normalize_dirs, cdir=cdir,
     )
 
 
