@@ -151,3 +151,18 @@ def test_normalized_depth(rays):
     np.testing.assert_allclose(
         np.asarray(nd), np.asarray(out.depth / out.acc), rtol=1e-5
     )
+
+
+def test_sample_pdf_outputs_stay_in_range(rays):
+    """No stochastic draw may escape [near, far] — in particular a u at or
+    above the final CDF knot (possible when rounding leaves the cumsum just
+    under 1) must land in the last bin, not collapse to z=0."""
+    import jax
+
+    rays_o, rays_d = rays
+    _, z = sample_points_on_rays(rays_o, rays_d, 2.0, 6.0, 16)
+    w = jnp.ones(z.shape)
+    for seed in range(8):
+        z_new = sample_pdf(z, w, 128, key=jax.random.PRNGKey(seed))
+        assert float(z_new.min()) >= 2.0 - 1e-5
+        assert float(z_new.max()) <= 6.0 + 1e-5
