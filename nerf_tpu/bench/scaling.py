@@ -70,8 +70,9 @@ def scaling_report(
     apply_fn=apply_nerf,
     n_frames: int = 2,
     log=print,
+    devices: Optional[Sequence[jax.Device]] = None,
 ) -> List[ScalingRow]:
-    devices = jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     if device_counts is None:
         device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
 

@@ -38,15 +38,31 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than its C++ source."""
+    if not os.path.exists(_SO):
+        return True
+    src = os.path.join(_DIR, "runtime.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO)
+    except OSError:
+        return False
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) and not _build():
+        if _stale() and not _build() and not os.path.exists(_SO):
             return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            print(f"nerf_tpu.runtime: cannot load native library ({e}); "
+                  "using numpy fallback")
+            return None
         lib.nerf_decode_png_batch.restype = ctypes.c_int
         lib.nerf_decode_png_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
