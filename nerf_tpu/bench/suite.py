@@ -77,44 +77,58 @@ class UnifiedBenchmarkSuite:
         for name, engine in self.engines.items():
             for resolution in resolutions:
                 for spp in samples:
-                    times, mems, dev_mems = [], [], []
-                    error = ""
+                    # one result row PER VIEW (reference
+                    # ``benchmark_suite.py:180-233`` records per-view rows;
+                    # collapsing them loses per-view variance)
+                    w, h = resolution
+                    times = []
                     for v in range(n_views):
                         try:
                             res = engine.render_image(
                                 poses[v], resolution, spp, focal=BENCHMARK_FOCAL
                             )
-                            times.append(res.stats.wall_time_s)
-                            mems.append(res.stats.peak_host_rss_mb)
-                            if res.stats.peak_device_mb is not None:
-                                dev_mems.append(res.stats.peak_device_mb)
-                            if save_sample_renders and v == 0:
-                                self._save_sample_render(name, resolution, spp, res)
                         except Exception as e:  # per-view fault isolation
                             error = f"{type(e).__name__}: {e}"
                             print(f"  {name} {resolution}@{spp} view{v} failed: {error}")
-                    success = len(times) > 0
-                    avg_t = float(np.mean(times)) if success else float("nan")
-                    w, h = resolution
-                    self.results.append(
-                        BenchmarkResult(
-                            renderer_name=name,
-                            device_info=engine.device_info(),
-                            resolution=resolution,
-                            samples_per_ray=spp,
-                            view_idx=0,
-                            render_time_s=avg_t,
-                            rays_per_second=(w * h / avg_t) if success else 0.0,
-                            peak_host_rss_mb=float(np.max(mems)) if mems else 0.0,
-                            peak_device_mb=float(np.max(dev_mems)) if dev_mems else None,
-                            success=success,
-                            error=error,
+                            self.results.append(
+                                BenchmarkResult(
+                                    renderer_name=name,
+                                    device_info=engine.device_info(),
+                                    resolution=resolution,
+                                    samples_per_ray=spp,
+                                    view_idx=v,
+                                    render_time_s=float("nan"),
+                                    rays_per_second=0.0,
+                                    peak_host_rss_mb=0.0,
+                                    peak_device_mb=None,
+                                    success=False,
+                                    error=error,
+                                )
+                            )
+                            continue
+                        t = res.stats.wall_time_s
+                        times.append(t)
+                        self.results.append(
+                            BenchmarkResult(
+                                renderer_name=name,
+                                device_info=engine.device_info(),
+                                resolution=resolution,
+                                samples_per_ray=spp,
+                                view_idx=v,
+                                render_time_s=t,
+                                rays_per_second=w * h / t,
+                                peak_host_rss_mb=res.stats.peak_host_rss_mb,
+                                peak_device_mb=res.stats.peak_device_mb,
+                                success=True,
+                            )
                         )
-                    )
-                    if success:
+                        if save_sample_renders and v == 0:
+                            self._save_sample_render(name, resolution, spp, res)
+                    if times:
+                        avg_t = float(np.mean(times))
                         print(
                             f"  {name} {w}x{h}@{spp}: {avg_t:.3f}s "
-                            f"{w*h/avg_t:,.0f} rays/s"
+                            f"{w*h/avg_t:,.0f} rays/s ({len(times)}/{n_views} views)"
                         )
         return self.results
 
@@ -152,24 +166,37 @@ class UnifiedBenchmarkSuite:
 
         from nerf_tpu.utils.metrics import psnr, ssim
 
-        assert reference_engine in self.engines
+        report: Dict[str, Dict[str, float]] = {}
+        if reference_engine not in self.engines:
+            # an engine-probe failure degrades to a recorded error, not a
+            # crash — the gate result still lands in the JSON report
+            report["error"] = {
+                "missing_reference_engine": reference_engine  # type: ignore
+            }
+            print(f"  quality gate skipped: engine {reference_engine!r} "
+                  "unavailable")
+            self._quality = report
+            return report
         pose = orbit_poses(2)[0]
         ref = self.engines[reference_engine].render_image(
             pose, resolution, spp, focal=focal, monitor=False
         )
-        report: Dict[str, Dict[str, float]] = {}
         for name, engine in self.engines.items():
             if name == reference_engine:
                 continue
-            res = engine.render_image(pose, resolution, spp, focal=focal,
-                                      monitor=False)
-            report[name] = {
-                "psnr_db": float(psnr(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
-                "ssim": float(ssim(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
-            }
-            print(f"  quality {name} vs {reference_engine}: "
-                  f"{report[name]['psnr_db']:.1f} dB PSNR, "
-                  f"SSIM {report[name]['ssim']:.4f}")
+            try:
+                res = engine.render_image(pose, resolution, spp, focal=focal,
+                                          monitor=False)
+                report[name] = {
+                    "psnr_db": float(psnr(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
+                    "ssim": float(ssim(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
+                }
+                print(f"  quality {name} vs {reference_engine}: "
+                      f"{report[name]['psnr_db']:.1f} dB PSNR, "
+                      f"SSIM {report[name]['ssim']:.4f}")
+            except Exception as e:
+                report[name] = {"error": f"{type(e).__name__}: {e}"}  # type: ignore
+                print(f"  quality {name} failed: {e}")
         self._quality = report
         return report
 
@@ -214,11 +241,24 @@ class UnifiedBenchmarkSuite:
 
         ok = df[df["success"]]
         if len(ok):
-            print("\n== summary (mean rays/s per engine) ==")
-            summary = ok.groupby("renderer_name")["rays_per_second"].agg(
-                ["mean", "max"]
+            # groupby summary stats, matching the reference's report
+            # (``benchmark_suite.py:261-274``): per-engine throughput /
+            # latency / memory distributions, not just mean/max
+            print("\n== summary (per engine) ==")
+            summary = ok.groupby("renderer_name").agg(
+                rays_per_second_mean=("rays_per_second", "mean"),
+                rays_per_second_std=("rays_per_second", "std"),
+                rays_per_second_min=("rays_per_second", "min"),
+                rays_per_second_max=("rays_per_second", "max"),
+                render_time_mean_s=("render_time_s", "mean"),
+                render_time_max_s=("render_time_s", "max"),
+                peak_host_rss_mb=("peak_host_rss_mb", "max"),
+                configs=("rays_per_second", "count"),
             )
-            print(summary.to_string())
+            print(summary.to_string(float_format=lambda v: f"{v:,.1f}"))
+            summary_path = os.path.join(self.output_dir, "benchmark_summary.csv")
+            summary.to_csv(summary_path)
+            paths["summary"] = summary_path
             paths["chart"] = self._plot(ok)
         return paths
 

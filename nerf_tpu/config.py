@@ -86,6 +86,20 @@ class TrainConfig:
 
 
 @dataclass(frozen=True)
+class AccelConfig:
+    """Occupancy-grid accelerated engine (``render/engines.py:AccelEngine``).
+
+    The defaults are tuned for the Blender-synthetic lego scene (object
+    inside a ~[-1.5, 1.5]^3 box); set per scene — they are quality-affecting
+    scene constants, not magic numbers."""
+
+    grid_resolution: int = 128
+    density_threshold: float = 5.0    # sigma above which a cell is occupied
+    aabb: Tuple[float, float] = (-1.5, 1.5)   # scene bounds (same per axis)
+    n_probe: int = 128                # coarse probes per ray when baking z's
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout for sharded training/rendering (``parallel/``)."""
 
@@ -102,6 +116,7 @@ class Config:
     render: RenderConfig = field(default_factory=RenderConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    accel: AccelConfig = field(default_factory=AccelConfig)
     data_dir: str = "data/nerf_synthetic/lego"
     checkpoint_dir: str = "checkpoints"
     output_dir: str = "outputs"
@@ -123,7 +138,15 @@ class Config:
             render=build(RenderConfig, d.get("render")),
             train=build(TrainConfig, d.get("train")),
             mesh=build(MeshConfig, d.get("mesh")),
+            accel=build(AccelConfig, d.get("accel")),
         )
+        if "accel" in d and d["accel"] and "aabb" in d["accel"]:
+            cfg = dataclasses.replace(
+                cfg,
+                accel=dataclasses.replace(
+                    cfg.accel, aabb=tuple(d["accel"]["aabb"])
+                ),
+            )
         top = {
             k: d[k]
             for k in ("data_dir", "checkpoint_dir", "output_dir", "img_wh")

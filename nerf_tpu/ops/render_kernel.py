@@ -1,18 +1,24 @@
-"""Ray-blocked fused render kernel: sample generation + MLP in one pass.
+"""Ray-blocked fused render kernels: sample generation + MLP in one pass.
 
 The general MLP kernel (``mlp_kernel.py``) streams per-*sample* inputs
 (24 B/sample of positions+directions that XLA must first materialize in HBM
-— measured at ~20% of frame time). This kernel specializes the benchmark
-render path (uniform depths, one network — reference ``base_renderer.py:
-260-281`` semantics): the grid runs over blocks of *rays*, the kernel reads
-24 B/ray, and generates every sample position on-chip:
+— measured at ~20% of frame time). These kernels block the grid over *rays*
+and generate sample positions on-chip, so the positions/directions tensors
+never exist in HBM:
 
-    n = r * S + s  (row-major over the block)
-    z[n]   = near + (far - near) * s / (S - 1)
-    pos[n] = o[r] + d[r] * z[n]        (o, d repeated S-fold via pltpu.repeat)
+- ``fused_render_samples`` — uniform depths (the benchmark render path,
+  reference ``base_renderer.py:260-281`` semantics): reads 24 B/ray, z is an
+  on-chip iota. Input bandwidth drops S-fold.
+- ``fused_render_zvals`` — arbitrary per-ray depths ``z_vals [R, S]`` as a
+  kernel input (4 B/sample instead of the unfused path's 24 B/sample): the
+  hierarchical fine pass, grid-guided (accel) sampling, and perturbed
+  training samples all get the fused treatment (reference semantics
+  ``trainer.py:294-316``). Carries a custom VJP (backward recomputes via the
+  XLA path, like ``fused_nerf_apply``) so the train step can call it.
 
-Input bandwidth drops S-fold; the positions/directions tensors never exist
-in HBM. Output is the raw per-sample (sigma, rgb) for the fused compositor.
+Both generate positions as ``pos[n] = o[r] + d[r] * z[n]`` with the block in
+s-major layout (row ``n = s * R_b + r`` via ``pltpu.repeat``), and emit raw
+per-sample (sigma, rgb) for the fused compositor.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerf_tpu.config import ModelConfig
-from nerf_tpu.models.nerf import NeRFParams
+from nerf_tpu.models.nerf import NeRFParams, apply_nerf
 from nerf_tpu.ops.mlp_kernel import (
     PackedWeights,
     _dir_branch,
@@ -180,3 +186,196 @@ def fused_render_samples(
     t = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)
     z_vals = jnp.broadcast_to(near + (far - near) * t, (r, S))
     return sigma, rgb, z_vals
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary per-ray depths (hierarchical / guided / perturbed sampling)
+# ---------------------------------------------------------------------------
+
+
+def _ray_z_kernel(
+    o_ref, d_ref, z_ref, f_pos_ref, f_dir_ref, w0_ref, b0_ref, wt_ref, bt_ref,
+    wskip_ref, whead_ref, bhead_ref, wdir_ref, *rest,
+    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+    normalize_dirs: bool, n_samples: int,
+):
+    if variant == "bmild":
+        wc0_ref, bc0_ref, wc1_ref, bc1_ref, out_ref = rest
+        extra = {"wc0": wc0_ref[:], "bc0": bc0_ref[:]}
+    else:
+        wc1_ref, bc1_ref, out_ref = rest
+        extra = {}
+
+    o = o_ref[:]                                   # [R_b, 3]
+    d = d_ref[:]
+    z = z_ref[:]                                   # [R_b, S]
+    S = n_samples
+    R_b = o.shape[0]
+    B = R_b * S
+
+    w = {
+        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:], "w0": w0_ref[:],
+        "b0": b0_ref[:], "wt": wt_ref, "bt": bt_ref, "wskip": wskip_ref[:],
+        "whead": whead_ref[:], "bhead": bhead_ref[:], "wdir": wdir_ref[:],
+        "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
+    }
+
+    # r-major layout (row n = r * S + s), built with MXU/VPU-native ops only
+    # — no reshapes or transposes that would force a VMEM relayout:
+    #   sel[n, r'] = (n // S == r')        one-hot ray selector [B, R_b]
+    #   o_rep/d_rep = sel @ [o | d]        (f32 matmul of a one-hot: exact)
+    #   z_col[n] = rowsum((sel @ z) * onehot_s), onehot_s[n, s'] = (n % S == s')
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, R_b), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, R_b), 1)
+    sel = (row // S == col).astype(jnp.float32)
+
+    od = jnp.concatenate([o, d], axis=1)           # [R_b, 6]
+    od_rep = jnp.dot(sel, od, preferred_element_type=jnp.float32)
+    o_rep, d_rep = od_rep[:, :3], od_rep[:, 3:]
+
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+    zcol = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    onehot_s = (zrow % S == zcol).astype(jnp.float32)
+    z_rep = jnp.dot(sel, z, preferred_element_type=jnp.float32)   # [B, S]
+    z_col = jnp.sum(z_rep * onehot_s, axis=1, keepdims=True)      # [B, 1]
+
+    pos = o_rep + d_rep * z_col
+
+    # direction branch once per ray, expanded r-major by the same selector
+    cdir_ray = _dir_branch(d, w, Ld=Ld, dtype=dtype,
+                           normalize_dirs=normalize_dirs)         # [R_b, 128]
+    cdir = jnp.dot(sel, cdir_ray, preferred_element_type=jnp.float32)
+
+    out_ref[:] = _nerf_math(
+        pos, None, w, variant=variant, skip_pos=skip_pos,
+        Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+        normalize_dirs=normalize_dirs, cdir=cdir,
+    )
+
+
+def _zvals_forward(
+    params: NeRFParams,
+    rays_o: jnp.ndarray,      # [R, 3]
+    rays_d: jnp.ndarray,      # [R, 3]
+    z_vals: jnp.ndarray,      # [R, S]
+    cfg: ModelConfig,
+    block_samples: int,
+    dtype: Any,
+    interpret: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r, S = z_vals.shape
+    block_rays = max(8, (block_samples // S) // 8 * 8)
+    r_pad = _round_up(max(r, block_rays), block_rays)
+    rays_o = rays_o.astype(jnp.float32)
+    rays_d = rays_d.astype(jnp.float32)
+    z_vals = z_vals.astype(jnp.float32)
+    if r_pad != r:
+        pad = r_pad - r
+        rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3), jnp.float32)], 0)
+        rays_d = jnp.concatenate([rays_d, jnp.ones((pad, 3), jnp.float32)], 0)
+        z_vals = jnp.concatenate(
+            [z_vals, jnp.ones((pad, S), jnp.float32)], 0
+        )
+
+    packed = pack_params(params, cfg, dtype=dtype)
+    skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
+
+    weight_arrays = [
+        packed.f_pos, packed.f_dir, packed.w0, packed.b0, packed.wt,
+        packed.bt, packed.wskip, packed.whead, packed.bhead, packed.wdir,
+    ]
+    if cfg.variant == "bmild":
+        weight_arrays += [packed.wc0, packed.bc0]
+    weight_arrays += [packed.wc1, packed.bc1]
+    weight_specs = [
+        pl.BlockSpec(
+            w.shape,
+            (lambda i: (0, 0, 0)) if w.ndim == 3 else (lambda i: (0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        for w in weight_arrays
+    ]
+
+    kernel = functools.partial(
+        _ray_z_kernel,
+        variant=cfg.variant,
+        skip_pos=skip_pos,
+        Lp=cfg.pos_freqs,
+        Ld=cfg.dir_freqs,
+        relu_sigma=(cfg.variant == "reference"),
+        dtype=dtype,
+        normalize_dirs=cfg.normalize_dirs,
+        n_samples=S,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // block_rays,),
+        in_specs=[
+            pl.BlockSpec((block_rays, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec((block_rays * S, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(rays_o, rays_d, z_vals, *weight_arrays)
+
+    out = out.reshape(r_pad, S, 4)[:r]             # r-major: direct reshape
+    return out[..., 0], out[..., 1:4]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_render_zvals(
+    params: NeRFParams,
+    rays_o: jnp.ndarray,      # [R, 3]
+    rays_d: jnp.ndarray,      # [R, 3]
+    z_vals: jnp.ndarray,      # [R, S]
+    cfg: ModelConfig,
+    block_samples: int = 2048,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the network at arbitrary per-ray depths, generating the
+    sample positions inside the kernel. Returns ``(sigma [R, S],
+    rgb [R, S, 3])``. Differentiable w.r.t. params (backward recomputes via
+    the XLA path, as ``fused_nerf_apply`` does); z_vals/rays are data —
+    their cotangents are structurally zero in the training graph (importance
+    depths are stop-gradient'd, reference ``rendering.py:54-100`` semantics).
+    """
+    return _zvals_forward(
+        params, rays_o, rays_d, z_vals, cfg, block_samples, dtype, interpret
+    )
+
+
+def _zvals_fwd(params, rays_o, rays_d, z_vals, cfg, block_samples, dtype,
+               interpret):
+    out = fused_render_zvals(
+        params, rays_o, rays_d, z_vals, cfg, block_samples, dtype, interpret
+    )
+    return out, (params, rays_o, rays_d, z_vals)
+
+
+def _zvals_bwd(cfg, block_samples, dtype, interpret, residuals, cotangents):
+    params, rays_o, rays_d, z_vals = residuals
+
+    def f(p):
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+        return apply_nerf(p, pts, dirs, cfg, compute_dtype=dtype)
+
+    _, vjp = jax.vjp(f, params)
+    (dparams,) = vjp(cotangents)
+    return (dparams, jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
+            jnp.zeros_like(z_vals))
+
+
+fused_render_zvals.defvjp(_zvals_fwd, _zvals_bwd)

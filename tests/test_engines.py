@@ -87,9 +87,10 @@ def test_benchmark_suite_end_to_end(tmp_path, shared_random):
     results = suite.run_benchmark(
         None, resolutions=[(40, 30)], samples=[8], n_views=2
     )
-    assert len(results) == 1
-    assert results[0].success
-    assert results[0].rays_per_second > 0
+    # one row PER VIEW (reference ``benchmark_suite.py:180-233``)
+    assert len(results) == 2
+    assert [r.view_idx for r in results] == [0, 1]
+    assert all(r.success and r.rays_per_second > 0 for r in results)
     paths = suite.generate_report()
     assert os.path.exists(paths["csv"])
     assert os.path.exists(paths["json"])

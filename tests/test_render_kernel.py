@@ -75,3 +75,81 @@ def test_ray_count_padding(rays):
     assert s_k.shape == (50, 8)
     np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused_render_zvals: arbitrary per-ray depths
+# ---------------------------------------------------------------------------
+
+def _random_zvals(key, n, s):
+    z = jax.random.uniform(key, (n, s), minval=2.0, maxval=6.0)
+    return jnp.sort(z, axis=-1)
+
+
+def test_zvals_matches_xla_both_variants(rays):
+    from nerf_tpu.ops.render_kernel import fused_render_zvals
+
+    rays_o, rays_d = rays
+    for cfg in (ModelConfig(), bmild_config().model):
+        params = init_nerf_params(jax.random.PRNGKey(1), cfg)
+        z = _random_zvals(jax.random.PRNGKey(2), rays_o.shape[0], 24)
+        s_k, c_k = fused_render_zvals(
+            params, rays_o, rays_d, z, cfg,
+            block_samples=256, dtype=jnp.float32, interpret=True,
+        )
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+        s_ref, c_ref = apply_nerf(params, pts, dirs, cfg)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_zvals_grads_are_exactly_xla(rays):
+    """The custom VJP recomputes via the XLA path: grads must be bit-equal
+    to differentiating apply_nerf on materialized points."""
+    from nerf_tpu.ops.render_kernel import fused_render_zvals
+
+    rays_o, rays_d = rays
+    cfg = ModelConfig()
+    params = init_nerf_params(jax.random.PRNGKey(1), cfg)
+    z = _random_zvals(jax.random.PRNGKey(2), rays_o.shape[0], 16)
+
+    def loss_fused(p):
+        s, c = fused_render_zvals(p, rays_o, rays_d, z, cfg,
+                                  block_samples=256, dtype=jnp.bfloat16,
+                                  interpret=True)
+        return jnp.mean(c) + 1e-3 * jnp.mean(s)
+
+    def loss_xla(p):
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+        s, c = apply_nerf(p, pts, dirs, cfg, compute_dtype=jnp.bfloat16)
+        return jnp.mean(c) + 1e-3 * jnp.mean(s)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_xla)(params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_zvals_bmild_weights_hierarchical_shape(rays):
+    """End-to-end shape/compat check on the real bundled weights when
+    present (skipped otherwise)."""
+    import os
+
+    if not os.path.exists(BMILD_WEIGHTS):
+        pytest.skip("bundled example weights unavailable")
+    from nerf_tpu.ops.render_kernel import fused_render_zvals
+
+    rays_o, rays_d = rays
+    cfg = bmild_config().model
+    params = load_bmild_weights(BMILD_WEIGHTS)
+    z = _random_zvals(jax.random.PRNGKey(3), rays_o.shape[0], 32)
+    sigma, rgb = fused_render_zvals(params, rays_o, rays_d, z, cfg,
+                                    block_samples=256, interpret=True)
+    assert sigma.shape == z.shape and rgb.shape == z.shape + (3,)
+    assert bool(jnp.all(jnp.isfinite(sigma))) and bool(jnp.all((rgb >= 0) & (rgb <= 1)))
