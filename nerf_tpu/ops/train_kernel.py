@@ -266,14 +266,21 @@ def _unpack_grads(g: Dict[str, jnp.ndarray], params: NeRFParams,
     encoding-consuming matrices, the [h | enc] split of the skip layer, and
     the [density | color0] head concat.
     """
-    enc_dim, denc_dim = cfg.pos_dim, cfg.dir_dim
-    inv_p = np.argsort(_enc_perm(cfg.pos_freqs))
-    inv_d = np.argsort(_enc_perm(cfg.dir_freqs))
     skip_pos = cfg.skip_layer
 
-    d_w0 = g["d_w0"][:enc_dim][inv_p]
-    d_wskip = g["d_wskip"][:enc_dim][inv_p]
-    d_wdir = g["d_wdir"][:denc_dim][inv_d]
+    def inv(L):
+        # kernel row r holds reference row perm[r] (-1 = structurally-zero
+        # helper row, no reference gradient)
+        perm = _enc_perm(L)
+        out = np.zeros(3 + 6 * L, np.int64)
+        for r, j in enumerate(perm):
+            if j >= 0:
+                out[j] = r
+        return out
+
+    d_w0 = g["d_w0"][inv(cfg.pos_freqs)]
+    d_wskip = g["d_wskip"][inv(cfg.pos_freqs)]
+    d_wdir = g["d_wdir"][inv(cfg.dir_freqs)]
 
     trunk = []
     for i in range(8):

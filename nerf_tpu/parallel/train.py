@@ -20,44 +20,47 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nerf_tpu.config import Config
 from nerf_tpu.models.nerf import apply_nerf
 from nerf_tpu.parallel.mesh import ray_sharding, replicated, tp_param_shardings
-from nerf_tpu.train.trainer import TrainState, make_train_step
+from nerf_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
 
-def shard_train_state(state: TrainState, mesh: Mesh, tp: bool = False) -> TrainState:
+def shard_train_state(
+    state: TrainState,
+    mesh: Mesh,
+    tp: bool = False,
+    optimizer: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
     """Place a TrainState on the mesh: replicated, or with tensor-parallel
-    params (optimizer moments follow their params)."""
+    params — optimizer moments follow their params via
+    ``optax.tree_map_params`` (the supported structural API: no reflection
+    over optax internals, no silent replicated fallback; an optimizer-chain
+    change that breaks the mapping raises).
+
+    ``optimizer`` identifies the params-shaped leaves inside ``opt_state``;
+    it defaults to the trainer's own ``make_optimizer(Config())``, whose
+    chain *structure* does not depend on hyperparameter values. Pass the
+    actual optimizer when using a custom chain.
+    """
     if not tp:
         return jax.device_put(state, replicated(mesh))
+    if optimizer is None:
+        optimizer = make_optimizer(Config())
     param_spec = tp_param_shardings(state.params, mesh)
 
-    # optax state mirrors the params structure inside its ScaleByAdamState;
-    # map any leaf that matches a param's shape to that param's sharding.
-    def opt_spec(leaf):
-        return replicated(mesh)
-
-    opt_state = jax.tree.map(opt_spec, state.opt_state)
-    # Adam mu/nu have the params' structure: reuse param specs where the
-    # subtree structure matches.
-    try:
-        flat_params = jax.tree.structure(state.params)
-        new_opt = []
-        for piece in state.opt_state:
-            if hasattr(piece, "mu") and hasattr(piece, "nu"):
-                piece = piece._replace(
-                    mu=jax.device_put(piece.mu, param_spec),
-                    nu=jax.device_put(piece.nu, param_spec),
-                )
-            else:
-                piece = jax.device_put(piece, replicated(mesh))
-            new_opt.append(piece)
-        opt_state = type(state.opt_state)(new_opt)
-    except Exception:
-        opt_state = jax.device_put(state.opt_state, replicated(mesh))
+    opt_state = optax.tree_map_params(
+        optimizer,
+        lambda leaf, spec: jax.device_put(leaf, spec),
+        state.opt_state,
+        param_spec,
+        transform_non_params=lambda leaf: jax.device_put(
+            leaf, replicated(mesh)
+        ),
+    )
 
     return TrainState(
         params=jax.device_put(state.params, param_spec),
