@@ -33,8 +33,11 @@ def main() -> int:
 
     from nerf_tpu.config import bmild_config, default_config
     from nerf_tpu.render.engines import PallasEngine, SharedModel, XLAEngine
+    from nerf_tpu.utils.cache import enable_compilation_cache
     from nerf_tpu.utils.cameras import focal_from_angle, spherical_pose
     from nerf_tpu.utils.monitor import sync
+
+    enable_compilation_cache()
 
     W, H, SPP = 800, 600, 64
     on_tpu = jax.devices()[0].platform == "tpu"

@@ -432,6 +432,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    from nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

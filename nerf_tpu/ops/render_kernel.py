@@ -17,8 +17,10 @@ never exist in HBM:
   XLA path, like ``fused_nerf_apply``) so the train step can call it.
 
 Both generate positions as ``pos[n] = o[r] + d[r] * z[n]`` with the block in
-s-major layout (row ``n = s * R_b + r`` via ``pltpu.repeat``), and emit raw
-per-sample (sigma, rgb) for the fused compositor.
+r-major layout (row ``n = r * S + s``, per-ray values expanded through a
+one-hot selector matmul), so the caller reshapes the output straight to
+``[R, S, 4]`` with no de-interleave copy. Raw per-sample (sigma, rgb) feed
+the fused compositor.
 """
 
 from __future__ import annotations
@@ -67,23 +69,34 @@ def _ray_kernel(
         "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
     }
 
-    # Direction branch once per RAY (directions are constant along a ray),
-    # then repeat the 128-wide result S-fold — the per-sample normalization,
+    B = R_b * S
+
+    # r-major layout (row n = r * S + s) so the caller can reshape the output
+    # straight to [R, S, 4] — the earlier s-major pltpu.repeat layout needed
+    # a de-interleave transpose outside the kernel that cost 26 ms/frame
+    # (7% of the 800x600@64 headline) as a strided HBM copy. Per-ray values
+    # expand through a one-hot selector matmul (exact in f32, <1% of the
+    # block's MXU work); z comes straight off the sample iota.
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, R_b), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, R_b), 1)
+    sel = (row // S == col).astype(jnp.float32)    # [B, R_b] one-hot ray id
+
+    od = jnp.concatenate([o, d], axis=1)           # [R_b, 6]
+    od_rep = jnp.dot(sel, od, preferred_element_type=jnp.float32)
+    o_rep, d_rep = od_rep[:, :3], od_rep[:, 3:]
+
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) % S
+    t = s_idx.astype(jnp.float32) / jnp.float32(S - 1)
+    z = near + (far - near) * t                    # [B, 1]
+    pos = o_rep + d_rep * z
+
+    # direction branch once per RAY (directions are constant along a ray),
+    # expanded r-major by the same selector — the per-sample normalization,
     # 27-wide encoding transcendentals, and wdir matmul were ~19% of frame
     # time when done per sample.
     cdir_ray = _dir_branch(d, w, Ld=Ld, dtype=dtype,
                            normalize_dirs=normalize_dirs)   # [R_b, 128]
-    cdir = pltpu.repeat(cdir_ray, S, axis=0)                # [R_b*S, 128]
-
-    # pltpu.repeat tiles the whole array: block layout is s-major,
-    # row n = s * R_b + r  (ray r = n % R_b, sample s = n // R_b)
-    o_rep = pltpu.repeat(o, S, axis=0)             # [R_b*S, 3]
-    d_rep = pltpu.repeat(d, S, axis=0)
-    B = o_rep.shape[0]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) // R_b
-    t = s_idx.astype(jnp.float32) / jnp.float32(S - 1)
-    z = near + (far - near) * t                    # [B, 1]
-    pos = o_rep + d_rep * z
+    cdir = jnp.dot(sel, cdir_ray, preferred_element_type=jnp.float32)
 
     out_ref[:] = _nerf_math(
         pos, None, w, variant=variant, skip_pos=skip_pos,
@@ -176,11 +189,7 @@ def fused_render_samples(
         interpret=interpret,
     )(rays_o, rays_d, *weight_arrays)
 
-    # de-interleave the s-major block layout: block b rows are
-    # [s, r_in_block] -> want [ray, sample]
-    n_blocks = r_pad // block_rays
-    out = out.reshape(n_blocks, S, block_rays, 4)
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(r_pad, S, 4)[:r]
+    out = out.reshape(r_pad, S, 4)[:r]             # r-major: direct reshape
     sigma = out[..., 0]
     rgb = out[..., 1:4]
     t = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)

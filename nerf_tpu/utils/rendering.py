@@ -123,10 +123,18 @@ def sample_pdf(
     in_bin = cmp[..., :-1] - cmp[..., 1:]                         # [N, S2, S]
     z_shift = jnp.concatenate([z_vals[:, 1:], z_vals[:, -1:]], axis=-1)
 
-    cdf_below = jnp.einsum("nsj,nj->ns", in_bin, cdf[:, :-1])
-    cdf_above = jnp.einsum("nsj,nj->ns", in_bin, cdf[:, 1:])
-    z_below = jnp.einsum("nsj,nj->ns", in_bin, z_vals)
-    z_above = jnp.einsum("nsj,nj->ns", in_bin, z_shift)
+    # one batched matmul picks all four bracketing values at once —
+    # four separate einsums lowered to VPU multiply-reduce fusions
+    # (19 ms/frame at 400x300@64 on v5e); a single [N, S2, S] @ [N, S, 4]
+    # dot_general keeps the contraction on the MXU
+    vals = jnp.stack([cdf[:, :-1], cdf[:, 1:], z_vals, z_shift], axis=-1)
+    picked = jax.lax.dot_general(
+        in_bin, vals,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=z_vals.dtype,
+    )                                                             # [N, S2, 4]
+    cdf_below, cdf_above = picked[..., 0], picked[..., 1]
+    z_below, z_above = picked[..., 2], picked[..., 3]
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -44,6 +44,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from nerf_tpu.config import Config, RenderConfig, TrainConfig
     from nerf_tpu.data.synthetic import make_procedural_dataset
     from nerf_tpu.train.trainer import NeRFTrainer

@@ -61,7 +61,10 @@ def main():
 
     from nerf_tpu.config import bmild_config
     from nerf_tpu.render.engines import ENGINE_CLASSES, SharedModel
+    from nerf_tpu.utils.cache import enable_compilation_cache
     from nerf_tpu.utils.cameras import spherical_pose
+
+    enable_compilation_cache()
 
     bmild = "/root/reference/data/lego_example_weights/model_fine_200000.npy"
     cfg = bmild_config()

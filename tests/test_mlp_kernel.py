@@ -117,3 +117,15 @@ def test_pack_params_rejects_wrong_arch():
     params = init_nerf_params(jax.random.PRNGKey(6), cfg)
     with pytest.raises(AssertionError):
         pack_params(params, cfg)
+
+
+def test_fast_sin_accuracy():
+    """The bf16-path polynomial sine must stay far below bf16 quantization
+    (eps ~4e-3) across the full positional-encoding phase range (top octave
+    |p| ~ 2^9 * pi * |x|)."""
+    from nerf_tpu.ops.mlp_kernel import _fast_sin
+
+    p = np.random.RandomState(0).uniform(-10000, 10000, 100000).astype(np.float32)
+    got = np.asarray(_fast_sin(jnp.asarray(p)))
+    want = np.sin(p.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-5
