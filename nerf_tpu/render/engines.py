@@ -12,9 +12,10 @@ On TPU the *device* axis collapses, so engines differ in execution strategy:
   (``ops/quant.py``), the reference's CompressedNeRF capability.
 
 All engines share one ``SharedModel`` (the reference's ``SharedNeRFModel``
-singleton, made explicit) and one chunked, fully jitted render loop
-(``lax.map`` over fixed-size ray chunks — a single device dispatch per image,
-instead of the reference's per-chunk Python loop).
+singleton, made explicit) and one chunked render loop: a per-chunk jitted
+executable (keyed on samples/chunk/mode, NOT resolution — one expensive
+compile serves every image size) dispatched asynchronously from the host, so
+chunk executions pipeline back-to-back on-device.
 
 Benchmark-parity semantics (``base_renderer.py:223-281``): fine network only,
 uniform unperturbed sampling, hardcoded focal=800 by default. The
@@ -150,13 +151,41 @@ class Engine:
 
     # -- shared machinery ---------------------------------------------------
 
-    def _build_render(self, width: int, height: int, spp: int, mode: str):
-        """One jitted function per (W, H, spp, mode): ray-gen, chunking, MLP,
-        compositing — a single device dispatch per frame."""
-        cfg = self.cfg
+    def _build_raygen(self, width: int, height: int, chunk: int):
+        """Jitted camera model per resolution: pose -> padded [n_chunks,
+        chunk, 3] ray origin/direction stacks. A trivial compile (meshgrid +
+        one 3x3 rotate) — the expensive MLP/composite executable lives in
+        ``_build_chunk_render`` and is shared across resolutions."""
         n = width * height
-        chunk = min(self.chunk_rays, n)
         n_pad = ((n + chunk - 1) // chunk) * chunk
+
+        @jax.jit
+        def raygen(pose, focal):
+            rays_o, rays_d = generate_rays(pose, width, height, focal)
+            rays_o = rays_o.reshape(-1, 3)
+            rays_d = rays_d.reshape(-1, 3)
+            if n_pad != n:
+                rays_o = jnp.concatenate(
+                    [rays_o, jnp.zeros((n_pad - n, 3), rays_o.dtype)], 0
+                )
+                rays_d = jnp.concatenate(
+                    [rays_d, jnp.ones((n_pad - n, 3), rays_d.dtype)], 0
+                )
+            return (rays_o.reshape(-1, chunk, 3),
+                    rays_d.reshape(-1, chunk, 3))
+
+        return raygen
+
+    def _build_chunk_render(self, spp: int, chunk: int, mode: str):
+        """One jitted function per (spp, chunk, mode): MLP + compositing for
+        a fixed-size ray chunk. Resolution-independent, so a 36-cell sweep
+        compiles one of these per (engine, spp) instead of one per cell —
+        through a tunneled TPU backend where a full-frame compile runs
+        minutes, that is the difference between a feasible and an infeasible
+        benchmark grid. Per-frame chunks dispatch asynchronously from a host
+        loop and pipeline on-device (the executions queue back-to-back; the
+        measured cost vs the old whole-frame ``lax.map`` jit is <1%)."""
+        cfg = self.cfg
         apply_fn = self.apply_fn()
         composite_fn = self.composite_fn()
         z_sampler = self.z_sampler()
@@ -177,26 +206,14 @@ class Engine:
         else:
             raise ValueError(f"unknown render mode {mode}")
 
-        @partial(jax.jit, static_argnums=())
-        def render(params, pose, focal):
-            rays_o, rays_d = generate_rays(pose, width, height, focal)
-            rays_o = rays_o.reshape(-1, 3)
-            rays_d = rays_d.reshape(-1, 3)
-            if n_pad != n:
-                rays_o = jnp.concatenate(
-                    [rays_o, jnp.zeros((n_pad - n, 3), rays_o.dtype)], 0
-                )
-                rays_d = jnp.concatenate(
-                    [rays_d, jnp.ones((n_pad - n, 3), rays_d.dtype)], 0
-                )
-            rays_o = rays_o.reshape(-1, chunk, 3)
-            rays_d = rays_d.reshape(-1, chunk, 3)
+        from nerf_tpu.utils.rendering import (
+            sample_pdf,
+            sample_points_on_rays,
+            volume_render,
+        )
 
-            from nerf_tpu.utils.rendering import (
-                sample_pdf,
-                sample_points_on_rays,
-                volume_render,
-            )
+        @jax.jit
+        def render_chunk(params, ro, rd):
 
             def eval_at_z(net, ro, rd, z):
                 """Evaluate one network at per-ray depths, fused if the
@@ -213,60 +230,53 @@ class Engine:
                     return composite_fn(sigma, rgb, z, rd, rcfg)
                 return volume_render(sigma, rgb, z, rd, rcfg)
 
-            def render_chunk(rays):
-                ro, rd = rays
-                if mode == "benchmark":
-                    # fine-only uniform sampling (reference benchmark path)
-                    if z_sampler is not None:
-                        z = z_sampler(ro, rd, spp, rcfg)
-                        sigma, rgb = eval_at_z("fine", ro, rd, z)
-                    elif sample_eval_fn is not None:
-                        sigma, rgb, z = sample_eval_fn(
-                            params["fine"], ro, rd, rcfg.near, rcfg.far, spp
-                        )
-                    else:
-                        pts, z = sample_points_on_rays(
-                            ro, rd, rcfg.near, rcfg.far, spp
-                        )
-                        dirs = jnp.broadcast_to(rd[:, None, :], pts.shape)
-                        sigma, rgb = apply_fn(params["fine"], pts, dirs,
-                                              cfg.model, compute_dtype=dt)
-                    out = composite(sigma, rgb, z, rd)
-                    return out.rgb, out.depth
-                if (rcfg.use_importance and sample_eval_fn is not None
-                        and zvals_eval_fn is not None):
-                    # fully fused hierarchical path: ray-blocked coarse pass,
-                    # inverse-CDF depths, ray-blocked fine pass at those
-                    # depths — positions never materialize in HBM
-                    sigma_c, rgb_c, z_c = sample_eval_fn(
-                        params["coarse"], ro, rd, rcfg.near, rcfg.far,
-                        rcfg.n_coarse,
+            if mode == "benchmark":
+                # fine-only uniform sampling (reference benchmark path)
+                if z_sampler is not None:
+                    z = z_sampler(ro, rd, spp, rcfg)
+                    sigma, rgb = eval_at_z("fine", ro, rd, z)
+                elif sample_eval_fn is not None:
+                    sigma, rgb, z = sample_eval_fn(
+                        params["fine"], ro, rd, rcfg.near, rcfg.far, spp
                     )
-                    out_c = composite(sigma_c, rgb_c, z_c, rd)
-                    z_new = sample_pdf(
-                        z_c, jax.lax.stop_gradient(out_c.weights),
-                        rcfg.n_fine, deterministic=True,
+                else:
+                    pts, z = sample_points_on_rays(
+                        ro, rd, rcfg.near, rcfg.far, spp
                     )
-                    z_f = jnp.sort(
-                        jnp.concatenate([z_c, z_new], axis=-1), axis=-1
-                    )
-                    sigma_f, rgb_f = eval_at_z("fine", ro, rd, z_f)
-                    out_f = composite(sigma_f, rgb_f, z_f, rd)
-                    return out_f.rgb, out_f.depth
-                result = render_rays(
-                    params["coarse"], params["fine"], ro, rd,
-                    cfg.model, rcfg, key=None, perturb=False,
-                    compute_dtype=dt, apply_fn=apply_fn,
-                    composite_fn=composite_fn,
+                    dirs = jnp.broadcast_to(rd[:, None, :], pts.shape)
+                    sigma, rgb = apply_fn(params["fine"], pts, dirs,
+                                          cfg.model, compute_dtype=dt)
+                out = composite(sigma, rgb, z, rd)
+                return out.rgb, out.depth
+            if (rcfg.use_importance and sample_eval_fn is not None
+                    and zvals_eval_fn is not None):
+                # fully fused hierarchical path: ray-blocked coarse pass,
+                # inverse-CDF depths, ray-blocked fine pass at those
+                # depths — positions never materialize in HBM
+                sigma_c, rgb_c, z_c = sample_eval_fn(
+                    params["coarse"], ro, rd, rcfg.near, rcfg.far,
+                    rcfg.n_coarse,
                 )
-                return result.fine.rgb, result.fine.depth
+                out_c = composite(sigma_c, rgb_c, z_c, rd)
+                z_new = sample_pdf(
+                    z_c, jax.lax.stop_gradient(out_c.weights),
+                    rcfg.n_fine, deterministic=True,
+                )
+                z_f = jnp.sort(
+                    jnp.concatenate([z_c, z_new], axis=-1), axis=-1
+                )
+                sigma_f, rgb_f = eval_at_z("fine", ro, rd, z_f)
+                out_f = composite(sigma_f, rgb_f, z_f, rd)
+                return out_f.rgb, out_f.depth
+            result = render_rays(
+                params["coarse"], params["fine"], ro, rd,
+                cfg.model, rcfg, key=None, perturb=False,
+                compute_dtype=dt, apply_fn=apply_fn,
+                composite_fn=composite_fn,
+            )
+            return result.fine.rgb, result.fine.depth
 
-            rgb, depth = jax.lax.map(render_chunk, (rays_o, rays_d))
-            rgb = rgb.reshape(-1, 3)[:n].reshape(height, width, 3)
-            depth = depth.reshape(-1)[:n].reshape(height, width)
-            return rgb, depth
-
-        return render
+        return render_chunk
 
     def render_image(
         self,
@@ -278,18 +288,36 @@ class Engine:
         monitor: bool = True,
     ) -> RenderResult:
         width, height = resolution
-        key = (width, height, samples_per_ray, mode)
-        if key not in self._render_cache:
-            self._render_cache[key] = self._build_render(
-                width, height, samples_per_ray, mode
+        n = width * height
+        chunk = min(self.chunk_rays, n)
+        ckey = (samples_per_ray, chunk, mode)
+        if ckey not in self._render_cache:
+            self._render_cache[ckey] = self._build_chunk_render(
+                samples_per_ray, chunk, mode
             )
-        render = self._render_cache[key]
+        rkey = ("raygen", width, height, chunk)
+        if rkey not in self._render_cache:
+            self._render_cache[rkey] = self._build_raygen(width, height, chunk)
+        render_chunk = self._render_cache[ckey]
+        raygen = self._render_cache[rkey]
         params = self.engine_params()
         pose = jnp.asarray(pose, jnp.float32)
 
+        def render(params, pose, focal):
+            ros, rds = raygen(pose, focal)
+            outs = [render_chunk(params, ros[i], rds[i])
+                    for i in range(ros.shape[0])]
+            # chunks dispatch asynchronously and pipeline on-device; the
+            # concatenate below queues behind them
+            rgb = jnp.concatenate([o[0] for o in outs], axis=0)
+            depth = jnp.concatenate([o[1] for o in outs], axis=0)
+            rgb = rgb[:n].reshape(height, width, 3)
+            depth = depth[:n].reshape(height, width)
+            return rgb, depth
+
         # Warm the jit cache outside the timed region, ONCE per executable
         # (the reference times steady-state renders too; compile is once per
-        # config). Subsequent frames at the same (shape, spp, mode) skip the
+        # config). Subsequent frames at the same (spp, chunk, mode) skip the
         # warm render — at 800x600@128 a redundant warm-up doubles the cost
         # of every sweep cell. Honest timing of the measured call comes from
         # monitor.sync()'s host fetch (plain block_until_ready is unreliable
@@ -298,10 +326,11 @@ class Engine:
         if mon:
             from nerf_tpu.utils.monitor import sync
 
-            if key not in self._warmed:
+            if ckey not in self._warmed or rkey not in self._warmed:
                 out = render(params, pose, jnp.float32(focal))
                 sync(out)
-                self._warmed.add(key)
+                self._warmed.add(ckey)
+                self._warmed.add(rkey)
             mon.start()
         rgb, depth = render(params, pose, jnp.float32(focal))
         stats = mon.stop((rgb, depth)) if mon else PerfStats()
