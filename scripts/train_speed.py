@@ -1,0 +1,97 @@
+"""Measure training steps/s at the reference's exact recipe.
+
+Recipe (reference ``main.py:27-62`` + ``trainer.py:83-136``): 800x800
+images, 2048 rays/step, 64 coarse + 128 fine samples, hierarchical
+importance sampling ON, Adam + grad clip + per-step exponential decay.
+One image per step, rays re-drawn each step — the default
+``nerf-tpu train`` path (``make_train_step``), not the streaming path.
+
+Prints per-step wall time over ``--steps`` steps with a host-fetch sync
+every step (the honest number: includes the per-dispatch tunnel floor),
+plus the amortized ``make_multi_train_step`` number (K steps per dispatch,
+what a real training run uses).
+"""
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--inner", type=int, default=10,
+                    help="scan length for the multi-step variant")
+    args = ap.parse_args()
+
+    from nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.config import default_config
+    from nerf_tpu.train.trainer import (
+        default_train_apply_fn,
+        init_train_state,
+        make_multi_train_step,
+        make_train_step,
+    )
+
+    cfg = default_config()
+    H = W = args.size
+    apply_fn = default_train_apply_fn(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, (H, W), apply_fn, donate=True)
+
+    key = jax.random.PRNGKey(1)
+    image = jax.random.uniform(key, (H, W, 3), jnp.float32)
+    pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)
+    focal = jnp.float32(0.5 * W / 0.357)
+
+    print(f"device: {jax.devices()[0]}  recipe: {W}x{H}, "
+          f"{cfg.train.n_rays} rays, {cfg.render.n_coarse}+"
+          f"{cfg.render.n_fine} samples, importance="
+          f"{cfg.render.use_importance}", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    state, metrics = step(state, image, pose, focal, key)
+    float(metrics["loss"])
+    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    times = []
+    for i in range(args.steps):
+        k = jax.random.fold_in(key, i)
+        t0 = time.time()
+        state, metrics = step(state, image, pose, focal, k)
+        float(metrics["loss"])                       # host fetch = hard sync
+        times.append(time.time() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    print(f"single-dispatch: median {med*1e3:.1f} ms/step "
+          f"({1/med:.1f} steps/s) over {args.steps} steps", flush=True)
+
+    # amortized: K steps per dispatch via lax.scan (what convergence_run uses)
+    multi = make_multi_train_step(cfg, (H, W), args.inner, apply_fn,
+                                  donate=True)
+    images = jnp.broadcast_to(image, (args.inner, H, W, 3))
+    poses = jnp.broadcast_to(pose, (args.inner, 4, 4))
+    state2, m = multi(state, images, poses, focal, key)
+    float(m["loss"][-1])
+    t0 = time.time()
+    n_outer = max(1, args.steps // args.inner)
+    for i in range(n_outer):
+        state2, m = multi(state2, images, poses, focal,
+                          jax.random.fold_in(key, 1000 + i))
+        float(m["loss"][-1])
+    per = (time.time() - t0) / (n_outer * args.inner)
+    print(f"scan x{args.inner}:      {per*1e3:.1f} ms/step "
+          f"({1/per:.1f} steps/s) amortized", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
