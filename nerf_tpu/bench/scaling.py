@@ -39,6 +39,35 @@ class ScalingRow:
     efficiency: float     # vs linear scaling from the 1-device row
 
 
+def assemble_frame(
+    rgb_global: jax.Array, depth_global: jax.Array, n_rays: int,
+    resolution: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stitch a ray-sharded render into host images via the native tile
+    stitcher (``runtime.assemble_tiles``): each device's addressable shard is
+    one row-contiguous tile; on a multi-host mesh each host stitches its
+    local tiles and host 0 concatenates (SURVEY.md §5.8 — all_gather of
+    rendered tiles for image assembly, done host-side and outside the timed
+    region, mirroring the reference's monitor placement
+    ``benchmark_suite.py:194-208``)."""
+    from nerf_tpu.runtime import assemble_tiles
+
+    w, h = resolution
+
+    def stitch(global_arr, channels):
+        tiles, offsets = [], []
+        for shard in global_arr.addressable_shards:
+            sl = shard.index[0]
+            offsets.append(int(sl.start or 0))
+            tiles.append(np.asarray(shard.data))
+        frame = assemble_tiles(tiles, offsets, global_arr.shape[0], channels)
+        return frame[:n_rays]
+
+    rgb = stitch(rgb_global, 3).reshape(h, w, 3)
+    depth = stitch(depth_global.reshape(-1, 1), 1).reshape(h, w)
+    return rgb, depth
+
+
 def _make_sharded_render(params, cfg: Config, mesh: Mesh, spp: int, apply_fn):
     dt = jnp.dtype(cfg.train.compute_dtype)
     rcfg = cfg.render
@@ -71,6 +100,7 @@ def scaling_report(
     n_frames: int = 2,
     log=print,
     devices: Optional[Sequence[jax.Device]] = None,
+    frame_path: Optional[str] = None,
 ) -> List[ScalingRow]:
     devices = list(devices) if devices is not None else jax.devices()
     if device_counts is None:
@@ -83,6 +113,7 @@ def scaling_report(
     rays_d = rays_d.reshape(-1, 3)
 
     rows: List[ScalingRow] = []
+    frame: Optional[Tuple[np.ndarray, np.ndarray]] = None
     base = None
     for nd in device_counts:
         mesh = make_mesh(n_data=nd, n_model=1, devices=devices[:nd])
@@ -107,4 +138,16 @@ def scaling_report(
         rows.append(ScalingRow(nd, t, rays_s, eff))
         log(f"  {nd} device(s): {t:.3f}s/frame  {rays_s:,.0f} rays/s  "
             f"efficiency {eff:.0%}")
+        # image assembly from the per-device tiles (outside the timed
+        # region): the native stitcher is the production path for turning a
+        # sharded render into a host frame
+        frame = assemble_frame(out[0], out[1], w * h, resolution)
+    if frame_path is not None and frame is not None:
+        from PIL import Image
+
+        rgb, _ = frame
+        Image.fromarray(
+            (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        ).save(frame_path)
+        log(f"  assembled frame (native tile stitch) -> {frame_path}")
     return rows

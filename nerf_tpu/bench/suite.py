@@ -152,16 +152,19 @@ class UnifiedBenchmarkSuite:
 
     def quality_report(
         self,
-        resolution: Tuple[int, int] = (200, 150),
+        resolutions: Sequence[Tuple[int, int]] = ((200, 150), (400, 300)),
         spp: int = 64,
         focal: float = BENCHMARK_FOCAL,
         reference_engine: str = "xla",
+        n_views: int = 2,
     ) -> Dict[str, Dict[str, float]]:
         """Cross-engine quality gate: PSNR/SSIM of every engine's render vs
-        the XLA engine's on one view — the quantitative version of the
+        the XLA engine's, scored over ``n_views`` orbit views at every
+        resolution in ``resolutions`` — the quantitative version of the
         reference's 'memory vs accuracy trade-off' claim for its compressed
         renderer (``compressed_renderer.py:1-11``) and of its human-eyeball
-        comparison grid (``compare_renderers.py``)."""
+        comparison grid (``compare_renderers.py``). Reports per-engine mean
+        and worst-case (min) PSNR/SSIM plus the per-cell values."""
         import jax.numpy as jnp
 
         from nerf_tpu.utils.metrics import psnr, ssim
@@ -177,27 +180,119 @@ class UnifiedBenchmarkSuite:
                   "unavailable")
             self._quality = report
             return report
-        pose = orbit_poses(2)[0]
-        ref = self.engines[reference_engine].render_image(
-            pose, resolution, spp, focal=focal, monitor=False
-        )
+        poses = orbit_poses(max(n_views, 2))[:n_views]
+        cells = [(v, res) for res in resolutions for v in range(n_views)]
+        refs = {}
+        for v, res in cells:
+            refs[(v, res)] = self.engines[reference_engine].render_image(
+                poses[v], res, spp, focal=focal, monitor=False
+            )
         for name, engine in self.engines.items():
             if name == reference_engine:
                 continue
+            psnrs, ssims, per_cell = [], [], {}
             try:
-                res = engine.render_image(pose, resolution, spp, focal=focal,
-                                          monitor=False)
+                for v, res in cells:
+                    out = engine.render_image(poses[v], res, spp, focal=focal,
+                                              monitor=False)
+                    p = float(psnr(jnp.asarray(out.rgb),
+                                   jnp.asarray(refs[(v, res)].rgb)))
+                    s = float(ssim(jnp.asarray(out.rgb),
+                                   jnp.asarray(refs[(v, res)].rgb)))
+                    psnrs.append(p)
+                    ssims.append(s)
+                    per_cell[f"view{v}_{res[0]}x{res[1]}"] = {
+                        "psnr_db": p, "ssim": s,
+                    }
                 report[name] = {
-                    "psnr_db": float(psnr(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
-                    "ssim": float(ssim(jnp.asarray(res.rgb), jnp.asarray(ref.rgb))),
+                    "psnr_db": float(np.mean(psnrs)),
+                    "psnr_db_min": float(np.min(psnrs)),
+                    "ssim": float(np.mean(ssims)),
+                    "ssim_min": float(np.min(ssims)),
+                    "cells": per_cell,  # type: ignore
                 }
                 print(f"  quality {name} vs {reference_engine}: "
-                      f"{report[name]['psnr_db']:.1f} dB PSNR, "
-                      f"SSIM {report[name]['ssim']:.4f}")
+                      f"{report[name]['psnr_db']:.1f} dB PSNR "
+                      f"(min {report[name]['psnr_db_min']:.1f}), "
+                      f"SSIM {report[name]['ssim']:.4f} "
+                      f"(min {report[name]['ssim_min']:.4f}) "
+                      f"over {len(cells)} cells")
             except Exception as e:
                 report[name] = {"error": f"{type(e).__name__}: {e}"}  # type: ignore
                 print(f"  quality {name} failed: {e}")
         self._quality = report
+        return report
+
+    def gt_quality_report(
+        self,
+        resolution: Tuple[int, int] = (400, 300),
+        gt_spp: int = 256,
+        spps: Sequence[int] = (16, 32, 64, 128),
+        focal: float = BENCHMARK_FOCAL,
+        gt_engine: str = "xla",
+        n_views: int = 2,
+        engines: Optional[Sequence[str]] = None,
+    ) -> Dict[str, Dict[str, Dict[str, float]]]:
+        """Ground-truth-anchored quality/efficiency gate: render ``gt_engine``
+        at ``gt_spp`` samples/ray as the converged truth, then score every
+        engine at each spp in ``spps`` against it — PSNR/SSIM *and* measured
+        rays/s per cell. This answers the question a same-spp comparison
+        cannot: does an engine with different sample *placement* (the accel
+        engine's grid-guided redistribution) reach a given fidelity with
+        fewer samples, i.e. at net higher throughput? It is this repo's
+        quantified version of the reference's Numba early-termination
+        divergence obligation (``numpy_renderer.py:76-77``): a behavioral
+        divergence must buy something measurable."""
+        import jax.numpy as jnp
+
+        from nerf_tpu.utils.metrics import psnr, ssim
+
+        poses = orbit_poses(max(n_views, 2))[:n_views]
+        gts = [
+            self.engines[gt_engine].render_image(
+                poses[v], resolution, gt_spp, focal=focal, monitor=False
+            ).rgb
+            for v in range(n_views)
+        ]
+        report: Dict[str, Dict[str, Dict[str, float]]] = {
+            "_meta": {  # type: ignore
+                "gt_engine": gt_engine, "gt_spp": gt_spp,
+                "resolution": list(resolution), "n_views": n_views,
+            }
+        }
+        names = engines if engines is not None else list(self.engines)
+        w, h = resolution
+        for name in names:
+            engine = self.engines.get(name)
+            if engine is None:
+                continue
+            report[name] = {}
+            for spp in spps:
+                try:
+                    psnrs, ssims, times = [], [], []
+                    for v in range(n_views):
+                        out = engine.render_image(
+                            poses[v], resolution, spp, focal=focal
+                        )
+                        psnrs.append(float(psnr(jnp.asarray(out.rgb),
+                                                jnp.asarray(gts[v]))))
+                        ssims.append(float(ssim(jnp.asarray(out.rgb),
+                                                jnp.asarray(gts[v]))))
+                        times.append(out.stats.wall_time_s)
+                    cell = {
+                        "psnr_db_vs_gt": float(np.mean(psnrs)),
+                        "ssim_vs_gt": float(np.mean(ssims)),
+                        "rays_per_second": float(w * h / np.mean(times)),
+                    }
+                    report[name][str(spp)] = cell
+                    print(f"  gt-gate {name}@{spp}: "
+                          f"{cell['psnr_db_vs_gt']:.2f} dB vs GT, "
+                          f"SSIM {cell['ssim_vs_gt']:.4f}, "
+                          f"{cell['rays_per_second']:,.0f} rays/s")
+                except Exception as e:
+                    report[name][str(spp)] = {"error": f"{type(e).__name__}: {e}"}  # type: ignore
+                    print(f"  gt-gate {name}@{spp} failed: {e}")
+        self._gt_quality = report
         return report
 
     # -- reporting ----------------------------------------------------------
@@ -210,7 +305,12 @@ class UnifiedBenchmarkSuite:
             d = dataclasses.asdict(r)
             d["resolution"] = f"{r.resolution[0]}x{r.resolution[1]}"
             rows.append(d)
-        return pd.DataFrame(rows)
+        df = pd.DataFrame(rows)
+        if "peak_device_mb" in df.columns:
+            df["peak_device_mb"] = pd.to_numeric(
+                df["peak_device_mb"], errors="coerce"
+            )
+        return df
 
     def generate_report(self) -> Dict[str, str]:
         """CSV + JSON + 4-panel chart + printed summary (reference
@@ -234,6 +334,7 @@ class UnifiedBenchmarkSuite:
                 {
                     "results": [dataclasses.asdict(r) for r in self.results],
                     "quality": getattr(self, "_quality", {}),
+                    "gt_quality": getattr(self, "_gt_quality", {}),
                 },
                 f, indent=2, default=str,
             )
@@ -253,6 +354,7 @@ class UnifiedBenchmarkSuite:
                 render_time_mean_s=("render_time_s", "mean"),
                 render_time_max_s=("render_time_s", "max"),
                 peak_host_rss_mb=("peak_host_rss_mb", "max"),
+                peak_device_mb=("peak_device_mb", "max"),
                 configs=("rays_per_second", "count"),
             )
             print(summary.to_string(float_format=lambda v: f"{v:,.1f}"))
@@ -288,9 +390,18 @@ class UnifiedBenchmarkSuite:
         ax.set_title("Throughput vs resolution"); ax.legend()
 
         ax = axes[1][0]
-        mem = df.groupby("renderer_name")[["peak_host_rss_mb"]].max()
-        ax.bar(mem.index, mem["peak_host_rss_mb"])
-        ax.set_ylabel("peak host RSS (MB)"); ax.set_title("Memory")
+        import pandas as pd
+
+        mem = df.groupby("renderer_name").agg(
+            host=("peak_host_rss_mb", "max"),
+            device=("peak_device_mb", "max"),
+        )
+        x = np.arange(len(mem.index))
+        ax.bar(x - 0.2, mem["host"], width=0.4, label="host RSS")
+        ax.bar(x + 0.2, pd.to_numeric(mem["device"], errors="coerce").fillna(0.0),
+               width=0.4, label="device HBM (executable)")
+        ax.set_xticks(x); ax.set_xticklabels(mem.index)
+        ax.set_ylabel("MB"); ax.set_title("Memory"); ax.legend()
 
         ax = axes[1][1]
         for e in engines:

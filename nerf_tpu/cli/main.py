@@ -218,10 +218,12 @@ def cmd_scale(args) -> int:
     shared = SharedModel(cfg).load(ckpt)
     w, h = _parse_resolutions([args.resolution])[0]
     print(f"devices available: {len(jax.devices())}")
+    os.makedirs(args.output_dir, exist_ok=True)
     rows = scaling_report(
         shared.params["fine"], cfg, resolution=(w, h), spp=args.samples,
         focal=args.focal,
         device_counts=[int(d) for d in args.devices] if args.devices else None,
+        frame_path=os.path.join(args.output_dir, "scaling_frame.png"),
     )
     import json as _json
 

@@ -334,9 +334,46 @@ class Engine:
             mon.start()
         rgb, depth = render(params, pose, jnp.float32(focal))
         stats = mon.stop((rgb, depth)) if mon else PerfStats()
+        if mon and stats.peak_device_mb is None:
+            # runtime memory_stats() is empty through tunneled TPU backends;
+            # fall back to XLA's static memory analysis of the chunk
+            # executable (arguments + outputs + temps = the HBM the render
+            # actually reserves: weights, chunk ray/sample buffers, scratch)
+            stats.peak_device_mb = self._executable_hbm_mb(
+                ckey, render_chunk, raygen, params, pose, focal
+            )
         return RenderResult(
             rgb=np.asarray(rgb), depth=np.asarray(depth), stats=stats
         )
+
+    def _executable_hbm_mb(self, ckey, render_chunk, raygen, params, pose,
+                           focal) -> Optional[float]:
+        """Device-memory footprint of one chunk-render dispatch from
+        ``compiled.memory_analysis()`` — the reference reports a per-backend
+        memory axis (psutil RSS, ``base_renderer.py:118-154``); the TPU
+        analog is per-executable HBM. Cached per (spp, chunk, mode); the
+        lowering compile hits the persistent/jit cache, so this costs one
+        host round-trip, not a recompile."""
+        mkey = ("hbm_mb", ckey)
+        if mkey in self._render_cache:
+            return self._render_cache[mkey]
+        mb: Optional[float] = None
+        try:
+            ros, rds = raygen(pose, jnp.float32(focal))
+            compiled = render_chunk.lower(params, ros[0], rds[0]).compile()
+            ma = compiled.memory_analysis()
+            if ma is not None:
+                total = (
+                    getattr(ma, "argument_size_in_bytes", 0)
+                    + getattr(ma, "output_size_in_bytes", 0)
+                    + getattr(ma, "temp_size_in_bytes", 0)
+                )
+                if total:
+                    mb = total / 1e6
+        except Exception:
+            mb = None
+        self._render_cache[mkey] = mb
+        return mb
 
     def device_info(self) -> str:
         return device_info_string()

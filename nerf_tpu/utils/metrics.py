@@ -61,9 +61,16 @@ def ssim(
         return out
 
     mu0, mu1 = blur(img0), blur(img1)
-    s00 = blur(img0 * img0) - mu0 * mu0
-    s11 = blur(img1 * img1) - mu1 * mu1
+    # Variance estimates blur(x*x) - mu^2 can go slightly negative in f32
+    # (catastrophic cancellation on near-constant patches), which lets the
+    # ratio exceed 1.0 — an impossible SSIM. Clamp variances to >= 0 and the
+    # covariance to Cauchy-Schwarz (|s01| <= sqrt(s00*s11)), which bounds the
+    # structure term to [-1, 1] and the mean SSIM to [-1, 1].
+    s00 = jnp.maximum(blur(img0 * img0) - mu0 * mu0, 0.0)
+    s11 = jnp.maximum(blur(img1 * img1) - mu1 * mu1, 0.0)
     s01 = blur(img0 * img1) - mu0 * mu1
+    bound = jnp.sqrt(s00 * s11)
+    s01 = jnp.clip(s01, -bound, bound)
     num = (2 * mu0 * mu1 + c1) * (2 * s01 + c2)
     den = (mu0**2 + mu1**2 + c1) * (s00 + s11 + c2)
     return jnp.mean(num / den)
