@@ -219,6 +219,40 @@ def pack_params(
     )
 
 
+def packed_weight_arrays(packed: PackedWeights, variant: str) -> list:
+    """The kernel-argument order for plain packed weights; paired with
+    ``packed_w_dict`` (mirrored by ``quant.quant_weight_arrays`` /
+    ``quant_w_dict`` for int8/int16 weights, so downstream kernels accept
+    either representation)."""
+    arrays = [
+        packed.f_pos, packed.f_dir, packed.w0, packed.b0, packed.wt,
+        packed.bt, packed.wskip, packed.whead, packed.bhead, packed.wdir,
+    ]
+    if variant == "bmild":
+        arrays += [packed.wc0, packed.bc0]
+    arrays += [packed.wc1, packed.bc1]
+    return arrays
+
+
+def packed_w_dict(refs, variant: str):
+    """In-kernel weight dict from refs ordered as ``packed_weight_arrays``.
+    ``wt``/``bt`` stay refs (indexed per layer inside ``_nerf_math``)."""
+    (f_pos_ref, f_dir_ref, w0_ref, b0_ref, wt_ref, bt_ref, wskip_ref,
+     whead_ref, bhead_ref, wdir_ref, *rest) = refs
+    if variant == "bmild":
+        wc0_ref, bc0_ref, wc1_ref, bc1_ref = rest
+        extra = {"wc0": wc0_ref[:], "bc0": bc0_ref[:]}
+    else:
+        wc1_ref, bc1_ref = rest
+        extra = {}
+    return {
+        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:], "w0": w0_ref[:],
+        "b0": b0_ref[:], "wt": wt_ref, "bt": bt_ref, "wskip": wskip_ref[:],
+        "whead": whead_ref[:], "bhead": bhead_ref[:], "wdir": wdir_ref[:],
+        "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------

@@ -165,21 +165,35 @@ def quantize_model(
 # ---------------------------------------------------------------------------
 
 
-def _quant_kernel(
-    pos_ref, dir_ref, f_pos_ref, f_dir_ref,
-    w0q_ref, w0s_ref, b0_ref, wtq_ref, wts_ref, bt_ref,
-    wskq_ref, wsks_ref, whq_ref, whs_ref, bhead_ref, wdq_ref, wds_ref, *rest,
-    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
-    normalize_dirs: bool,
-):
+def quant_weight_arrays(q: QuantizedPackedWeights, variant: str) -> list:
+    """The kernel-argument order for quantized weights; paired with
+    ``quant_w_dict`` (the same contract ``mlp_kernel.packed_weight_arrays`` /
+    ``packed_w_dict`` provide for plain weights, so the ray-blocked render
+    kernels accept either)."""
+    arrays = [
+        q.f_pos, q.f_dir, q.w0_q, q.w0_s, q.b0, q.wt_q, q.wt_s, q.bt,
+        q.wskip_q, q.wskip_s, q.whead_q, q.whead_s, q.bhead, q.wdir_q, q.wdir_s,
+    ]
     if variant == "bmild":
-        wc0q_ref, wc0s_ref, bc0_ref, wc1q_ref, wc1s_ref, bc1_ref, out_ref = rest
+        arrays += [q.wc0_q, q.wc0_s, q.bc0]
+    arrays += [q.wc1_q, q.wc1_s, q.bc1]
+    return arrays
+
+
+def quant_w_dict(refs, variant: str, dtype):
+    """Build the in-kernel weight dict from refs ordered as
+    ``quant_weight_arrays``, dequantizing inside VMEM: intN -> f32 ->
+    * per-channel scale -> bf16. O(weights) per grid step vs O(block*weights)
+    matmul work: negligible at render block sizes."""
+    (f_pos_ref, f_dir_ref, w0q_ref, w0s_ref, b0_ref, wtq_ref, wts_ref, bt_ref,
+     wskq_ref, wsks_ref, whq_ref, whs_ref, bhead_ref, wdq_ref, wds_ref,
+     *rest) = refs
+    if variant == "bmild":
+        wc0q_ref, wc0s_ref, bc0_ref, wc1q_ref, wc1s_ref, bc1_ref = rest
     else:
-        wc1q_ref, wc1s_ref, bc1_ref, out_ref = rest
+        wc1q_ref, wc1s_ref, bc1_ref = rest
 
     def dq(q_ref, s_ref):
-        # dequantize in VMEM: intN -> f32 -> * per-channel scale -> bf16.
-        # O(weight) per grid step vs O(block*weight) matmul work: negligible.
         return (q_ref[:].astype(jnp.float32) * s_ref[:]).astype(dtype)
 
     class _TrunkView:
@@ -201,7 +215,16 @@ def _quant_kernel(
     if variant == "bmild":
         w["wc0"] = dq(wc0q_ref, wc0s_ref)
         w["bc0"] = bc0_ref[:]
+    return w
 
+
+def _quant_kernel(
+    pos_ref, dir_ref, *rest,
+    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+    normalize_dirs: bool,
+):
+    w = quant_w_dict(rest[:-1], variant, dtype)
+    out_ref = rest[-1]
     out_ref[:] = _nerf_math(
         pos_ref[:], dir_ref[:], w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
@@ -242,13 +265,7 @@ def quantized_nerf_apply(
     pos3, dir3 = pad_rows(pos), pad_rows(dirs)
     skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
 
-    weight_arrays = [
-        q.f_pos, q.f_dir, q.w0_q, q.w0_s, q.b0, q.wt_q, q.wt_s, q.bt,
-        q.wskip_q, q.wskip_s, q.whead_q, q.whead_s, q.bhead, q.wdir_q, q.wdir_s,
-    ]
-    if cfg.variant == "bmild":
-        weight_arrays += [q.wc0_q, q.wc0_s, q.bc0]
-    weight_arrays += [q.wc1_q, q.wc1_s, q.bc1]
+    weight_arrays = quant_weight_arrays(q, cfg.variant)
 
     weight_specs = [
         pl.BlockSpec(

@@ -41,33 +41,51 @@ from nerf_tpu.ops.mlp_kernel import (
     _nerf_math,
     _round_up,
     pack_params,
+    packed_w_dict,
+    packed_weight_arrays,
 )
 
 
+def _weights_for(params, cfg: ModelConfig, dtype):
+    """Kernel weight arrays + in-kernel dict builder for any weight
+    representation: a raw params pytree (packed here), pre-packed
+    ``PackedWeights``, or int8/int16 ``QuantizedPackedWeights`` (dequantized
+    inside VMEM per grid step) — the hook that gives the compressed engine
+    the same ray-blocked fused treatment as the pallas engine."""
+    from nerf_tpu.ops.quant import (
+        QuantizedPackedWeights,
+        quant_w_dict,
+        quant_weight_arrays,
+    )
+
+    if isinstance(params, QuantizedPackedWeights):
+        return (
+            quant_weight_arrays(params, cfg.variant),
+            functools.partial(quant_w_dict, variant=cfg.variant, dtype=dtype),
+        )
+    packed = (
+        params if isinstance(params, PackedWeights)
+        else pack_params(params, cfg, dtype=dtype)
+    )
+    return (
+        packed_weight_arrays(packed, cfg.variant),
+        functools.partial(packed_w_dict, variant=cfg.variant),
+    )
+
+
 def _ray_kernel(
-    o_ref, d_ref, f_pos_ref, f_dir_ref, w0_ref, b0_ref, wt_ref, bt_ref,
-    wskip_ref, whead_ref, bhead_ref, wdir_ref, *rest,
-    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+    o_ref, d_ref, *rest,
+    w_dict_fn, variant: str, skip_pos: int, Lp: int, Ld: int,
+    relu_sigma: bool, dtype,
     normalize_dirs: bool, n_samples: int, near: float, far: float,
 ):
-    if variant == "bmild":
-        wc0_ref, bc0_ref, wc1_ref, bc1_ref, out_ref = rest
-        extra = {"wc0": wc0_ref[:], "bc0": bc0_ref[:]}
-    else:
-        wc1_ref, bc1_ref, out_ref = rest
-        extra = {}
+    w = w_dict_fn(rest[:-1])
+    out_ref = rest[-1]
 
     o = o_ref[:]                                   # [R_b, 3]
     d = d_ref[:]
     S = n_samples
     R_b = o.shape[0]
-
-    w = {
-        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:], "w0": w0_ref[:],
-        "b0": b0_ref[:], "wt": wt_ref, "bt": bt_ref, "wskip": wskip_ref[:],
-        "whead": whead_ref[:], "bhead": bhead_ref[:], "wdir": wdir_ref[:],
-        "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
-    }
 
     B = R_b * S
 
@@ -137,16 +155,9 @@ def fused_render_samples(
         rays_o = rays_o.astype(jnp.float32)
         rays_d = rays_d.astype(jnp.float32)
 
-    packed = pack_params(params, cfg, dtype=dtype)
     skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
 
-    weight_arrays = [
-        packed.f_pos, packed.f_dir, packed.w0, packed.b0, packed.wt,
-        packed.bt, packed.wskip, packed.whead, packed.bhead, packed.wdir,
-    ]
-    if cfg.variant == "bmild":
-        weight_arrays += [packed.wc0, packed.bc0]
-    weight_arrays += [packed.wc1, packed.bc1]
+    weight_arrays, w_dict_fn = _weights_for(params, cfg, dtype)
     weight_specs = [
         pl.BlockSpec(
             w.shape,
@@ -158,6 +169,7 @@ def fused_render_samples(
 
     kernel = functools.partial(
         _ray_kernel,
+        w_dict_fn=w_dict_fn,
         variant=cfg.variant,
         skip_pos=skip_pos,
         Lp=cfg.pos_freqs,
@@ -203,17 +215,13 @@ def fused_render_samples(
 
 
 def _ray_z_kernel(
-    o_ref, d_ref, z_ref, f_pos_ref, f_dir_ref, w0_ref, b0_ref, wt_ref, bt_ref,
-    wskip_ref, whead_ref, bhead_ref, wdir_ref, *rest,
-    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
+    o_ref, d_ref, z_ref, *rest,
+    w_dict_fn, variant: str, skip_pos: int, Lp: int, Ld: int,
+    relu_sigma: bool, dtype,
     normalize_dirs: bool, n_samples: int,
 ):
-    if variant == "bmild":
-        wc0_ref, bc0_ref, wc1_ref, bc1_ref, out_ref = rest
-        extra = {"wc0": wc0_ref[:], "bc0": bc0_ref[:]}
-    else:
-        wc1_ref, bc1_ref, out_ref = rest
-        extra = {}
+    w = w_dict_fn(rest[:-1])
+    out_ref = rest[-1]
 
     o = o_ref[:]                                   # [R_b, 3]
     d = d_ref[:]
@@ -221,13 +229,6 @@ def _ray_z_kernel(
     S = n_samples
     R_b = o.shape[0]
     B = R_b * S
-
-    w = {
-        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:], "w0": w0_ref[:],
-        "b0": b0_ref[:], "wt": wt_ref, "bt": bt_ref, "wskip": wskip_ref[:],
-        "whead": whead_ref[:], "bhead": bhead_ref[:], "wdir": wdir_ref[:],
-        "wc1": wc1_ref[:], "bc1": bc1_ref[:], **extra,
-    }
 
     # r-major layout (row n = r * S + s), built with MXU/VPU-native ops only
     # — no reshapes or transposes that would force a VMEM relayout:
@@ -286,16 +287,9 @@ def _zvals_forward(
             [z_vals, jnp.ones((pad, S), jnp.float32)], 0
         )
 
-    packed = pack_params(params, cfg, dtype=dtype)
     skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
 
-    weight_arrays = [
-        packed.f_pos, packed.f_dir, packed.w0, packed.b0, packed.wt,
-        packed.bt, packed.wskip, packed.whead, packed.bhead, packed.wdir,
-    ]
-    if cfg.variant == "bmild":
-        weight_arrays += [packed.wc0, packed.bc0]
-    weight_arrays += [packed.wc1, packed.bc1]
+    weight_arrays, w_dict_fn = _weights_for(params, cfg, dtype)
     weight_specs = [
         pl.BlockSpec(
             w.shape,
@@ -307,6 +301,7 @@ def _zvals_forward(
 
     kernel = functools.partial(
         _ray_z_kernel,
+        w_dict_fn=w_dict_fn,
         variant=cfg.variant,
         skip_pos=skip_pos,
         Lp=cfg.pos_freqs,

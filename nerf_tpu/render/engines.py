@@ -392,7 +392,8 @@ class PallasEngine(Engine):
     description = "fused Pallas MLP kernel (VMEM-resident weights)"
 
     def __init__(self, shared: SharedModel, chunk_rays: int = 16384,
-                 block: int = 2048, interpret: Optional[bool] = None):
+                 block: int = 2048, block_samples: int = 2048,
+                 interpret: Optional[bool] = None):
         super().__init__(shared, chunk_rays)
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
@@ -400,6 +401,9 @@ class PallasEngine(Engine):
 
         self._apply = make_pallas_apply_fn(block=block, interpret=interpret)
         self._interpret = interpret
+        # MXU-schedule knob: rows per ray-blocked kernel grid step. Wider
+        # blocks trade VMEM for matmul shape/pipeline depth (docs/PERF.md).
+        self._block_samples = block_samples
 
     @classmethod
     def is_available(cls) -> bool:
@@ -426,10 +430,12 @@ class PallasEngine(Engine):
 
         interpret = self._interpret
         mcfg = self.cfg.model
+        block_samples = self._block_samples
 
         def fn(params, ro, rd, near, far, spp):
             return fused_render_samples(
-                params, ro, rd, near, far, spp, mcfg, interpret=interpret
+                params, ro, rd, near, far, spp, mcfg,
+                block_samples=block_samples, interpret=interpret,
             )
 
         return fn
@@ -439,37 +445,40 @@ class PallasEngine(Engine):
 
         interpret = self._interpret
         mcfg = self.cfg.model
+        block_samples = self._block_samples
 
         def fn(params, ro, rd, z):
             return fused_render_zvals(params, ro, rd, z, mcfg,
-                                      interpret=interpret)
+                                      block_samples, interpret=interpret)
 
         return fn
 
 
-class CompressedEngine(Engine):
+class CompressedEngine(PallasEngine):
     name = "compressed"
-    description = "int8-quantized + pruned weights (Pallas dequant kernel)"
+    description = ("int8-quantized + pruned weights, fused ray-blocked "
+                   "Pallas kernels (dequant in VMEM)")
 
     def __init__(self, shared: SharedModel, chunk_rays: int = 16384,
-                 bits: int = 8, prune_fraction: float = 0.1,
-                 block: int = 2048, interpret: Optional[bool] = None):
-        super().__init__(shared, chunk_rays)
-        if interpret is None:
-            interpret = jax.devices()[0].platform != "tpu"
+                 bits: int = 8, prune_fraction: float = 0.1, **kw):
+        super().__init__(shared, chunk_rays, **kw)
         self.bits = bits
         self.prune_fraction = prune_fraction
-        self._interpret = interpret
-        self._block = block
         self._qparams = None
         self._stats = None
 
     def engine_params(self):
+        """Quantize once, lazily. The ray-blocked kernels inherited from
+        ``PallasEngine`` accept ``QuantizedPackedWeights`` directly
+        (``render_kernel._weights_for``) and dequantize inside VMEM — the
+        compressed engine gets the same on-chip sample generation as pallas,
+        with 4x (int8) / 2x (int16) less HBM weight traffic per grid step.
+        Reference capability: ``compressed_renderer.py:181-187``."""
         if self._qparams is None:
             from nerf_tpu.ops.quant import quantize_model
 
             self._qparams, self._stats = quantize_model(
-                super().engine_params(), self.cfg.model,
+                Engine.engine_params(self), self.cfg.model,
                 bits=self.bits, prune_fraction=self.prune_fraction,
             )
         return self._qparams
@@ -479,11 +488,12 @@ class CompressedEngine(Engine):
         return self._stats
 
     def apply_fn(self):
+        # fallback for paths the fused kernels don't cover (materialized
+        # positions); the benchmark + hierarchical paths use the inherited
+        # sample_eval_fn/zvals_eval_fn with in-VMEM dequant
         from nerf_tpu.ops.quant import make_quantized_apply_fn
 
-        return make_quantized_apply_fn(
-            block=self._block, interpret=self._interpret
-        )
+        return make_quantized_apply_fn(interpret=self._interpret)
 
 
 class AccelEngine(PallasEngine):

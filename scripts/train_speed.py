@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--inner", type=int, default=10,
                     help="scan length for the multi-step variant")
+    ap.add_argument("--out", default="results/perf/train_speed.json",
+                    help="JSON artifact path ('' to skip)")
     args = ap.parse_args()
 
     from nerf_tpu.utils.cache import enable_compilation_cache
@@ -90,6 +92,33 @@ def main():
     per = (time.time() - t0) / (n_outer * args.inner)
     print(f"scan x{args.inner}:      {per*1e3:.1f} ms/step "
           f"({1/per:.1f} steps/s) amortized", flush=True)
+
+    if args.out:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({
+                "recipe": {
+                    "image": f"{W}x{H}", "rays_per_step": cfg.train.n_rays,
+                    "n_coarse": cfg.render.n_coarse,
+                    "n_fine": cfg.render.n_fine,
+                    "use_importance": cfg.render.use_importance,
+                    "steps_measured": args.steps,
+                    "device": str(jax.devices()[0]),
+                },
+                "single_dispatch": {
+                    "ms_per_step_median": med * 1e3,
+                    "steps_per_second": 1 / med,
+                },
+                "scan_amortized": {
+                    "inner": args.inner,
+                    "ms_per_step": per * 1e3,
+                    "steps_per_second": 1 / per,
+                },
+            }, f, indent=2)
+        print(f"wrote {args.out}", file=sys.stderr)
     return 0
 
 

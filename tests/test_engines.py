@@ -70,6 +70,23 @@ def test_all_engines_agree_on_bmild_weights():
     assert imgs["xla"].std() > 0.02
 
 
+def test_compressed_engine_uses_fused_paths(shared_random):
+    """CompressedEngine inherits the ray-blocked fused kernels: both eval
+    hooks are non-None and a hierarchical render (coarse fused pass +
+    fine fused zvals pass, quantized weights) completes."""
+    from nerf_tpu.render.engines import CompressedEngine
+
+    e = CompressedEngine(shared_random, chunk_rays=512)
+    assert e.sample_eval_fn() is not None
+    assert e.zvals_eval_fn() is not None
+    res = e.render_image(
+        orbit_poses(2)[0], (16, 12), samples_per_ray=8, mode="hierarchical",
+        monitor=False,
+    )
+    assert res.rgb.shape == (12, 16, 3)
+    assert np.all(np.isfinite(res.rgb))
+
+
 def test_hierarchical_mode(shared_random):
     e = XLAEngine(shared_random, chunk_rays=512)
     res = e.render_image(

@@ -136,6 +136,55 @@ def test_zvals_grads_are_exactly_xla(rays):
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
 
 
+def test_fused_samples_accepts_quantized_weights(rays):
+    """QuantizedPackedWeights flow through the ray-blocked kernel with
+    in-VMEM dequant; output must match the sample-streaming quant kernel
+    (same dequant math, so tolerances are numerical only)."""
+    from nerf_tpu.ops.quant import quantize_model, quantized_nerf_apply
+
+    rays_o, rays_d = rays
+    cfg = ModelConfig()
+    params = init_nerf_params(jax.random.PRNGKey(1), cfg)
+    q = quantize_model({"fine": params}, cfg, bits=8, prune_fraction=0.0)[0]["fine"]
+    s_k, c_k, z = fused_render_samples(
+        q, rays_o, rays_d, 2.0, 6.0, 16, cfg,
+        block_samples=128, dtype=jnp.float32, interpret=True,
+    )
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    s_ref, c_ref = quantized_nerf_apply(
+        q, pts, rays_d[:, None, :], cfg, block=128,
+        dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_zvals_accepts_quantized_weights(rays):
+    from nerf_tpu.ops.quant import quantize_model, quantized_nerf_apply
+    from nerf_tpu.ops.render_kernel import fused_render_zvals
+
+    rays_o, rays_d = rays
+    cfg = bmild_config().model
+    params = init_nerf_params(jax.random.PRNGKey(1), cfg)
+    q = quantize_model({"fine": params}, cfg, bits=8, prune_fraction=0.1)[0]["fine"]
+    z = _random_zvals(jax.random.PRNGKey(2), rays_o.shape[0], 24)
+    s_k, c_k = fused_render_zvals(
+        q, rays_o, rays_d, z, cfg,
+        block_samples=256, dtype=jnp.float32, interpret=True,
+    )
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    s_ref, c_ref = quantized_nerf_apply(
+        q, pts, rays_d[:, None, :], cfg, block=128,
+        dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_zvals_bmild_weights_hierarchical_shape(rays):
     """End-to-end shape/compat check on the real bundled weights when
     present (skipped otherwise)."""
