@@ -99,6 +99,11 @@ def cmd_benchmark(args) -> int:
     )
     if len(suite.engines) > 1 and "xla" in suite.engines:
         suite.quality_report()
+    if getattr(args, "gt_gate", False) and "xla" in suite.engines:
+        suite.gt_quality_report(
+            resolution=(400, 300), gt_spp=args.gt_spp,
+            spps=(16, 32, 64, 128), n_views=2,
+        )
     paths = suite.generate_report()
     for k, v in paths.items():
         print(f"{k}: {v}")
@@ -369,6 +374,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--samples", nargs="+", default=["32", "64", "128"])
     b.add_argument("--views", type=int, default=2)
     b.add_argument("--engines", nargs="+", default=None)
+    b.add_argument("--gt_gate", action="store_true",
+                   help="also run the ground-truth-anchored quality gate "
+                        "(engines at several spp vs a high-spp truth)")
+    b.add_argument("--gt_spp", type=int, default=256)
     b.set_defaults(fn=cmd_benchmark)
 
     r = sub.add_parser("render", help="render one view")

@@ -196,7 +196,10 @@ def fused_render_samples(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            # wide blocks (the MXU-schedule lever, docs/PERF.md) exceed the
+            # default 16 MiB scoped-VMEM cap; v5e has 128 MiB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(rays_o, rays_d, *weight_arrays)
@@ -328,7 +331,10 @@ def _zvals_forward(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            # wide blocks (the MXU-schedule lever, docs/PERF.md) exceed the
+            # default 16 MiB scoped-VMEM cap; v5e has 128 MiB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(rays_o, rays_d, z_vals, *weight_arrays)
