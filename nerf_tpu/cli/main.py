@@ -55,7 +55,10 @@ def cmd_train(args) -> int:
         data_dir=args.data_dir,
         checkpoint_dir=args.checkpoint_dir,
         output_dir=args.output_dir,
-        train=dataclasses.replace(cfg.train, n_epochs=args.epochs),
+        train=dataclasses.replace(
+            cfg.train, n_epochs=args.epochs,
+            n_rays=args.n_rays or cfg.train.n_rays,
+        ),
     )
     w = h = args.image_size
     if os.path.isdir(args.data_dir) and os.path.exists(
@@ -342,7 +345,6 @@ def cmd_pipeline(args) -> int:
             return rc
     if args.checkpoint is None:
         args.checkpoint = os.path.join(args.checkpoint_dir, "final_model.npz")
-    args.engines = None
     return cmd_benchmark(args)
 
 
@@ -364,6 +366,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--streaming_steps", type=int, default=0,
                    help="train N steps from the native host ray producer "
                         "instead of the per-image epoch loop")
+    t.add_argument("--n_rays", type=int, default=0,
+                   help="rays per train step (0 = config default, 2048)")
     t.set_defaults(fn=cmd_train)
 
     b = sub.add_parser("benchmark", help="run the unified benchmark")
@@ -384,7 +388,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--weights", default="bmild",
                    help="'bmild', a .npy, or a .npz checkpoint")
     r.add_argument("--engine", default="pallas",
-                   choices=["xla", "pallas", "compressed", "accel"])
+                   choices=["xla", "pallas", "compressed", "int8", "accel"])
     r.add_argument("--width", type=int, default=400)
     r.add_argument("--height", type=int, default=400)
     r.add_argument("--samples", type=int, default=64)
@@ -428,6 +432,11 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--data_dir", default="data/nerf_synthetic/lego")
     pl.add_argument("--epochs", type=int, default=100)
     pl.add_argument("--image_size", type=int, default=400)
+    pl.add_argument("--streaming_steps", type=int, default=0,
+                    help="train N steps from the native host ray producer "
+                         "instead of the per-image epoch loop")
+    pl.add_argument("--n_rays", type=int, default=0,
+                    help="rays per train step (0 = config default, 2048)")
     pl.add_argument("--no_resume", action="store_true")
     pl.add_argument("--skip_training", action="store_true")
     pl.add_argument("--benchmark_only", action="store_true")
@@ -436,6 +445,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default=["200x150", "400x300", "800x600"])
     pl.add_argument("--samples", nargs="+", default=["32", "64", "128"])
     pl.add_argument("--views", type=int, default=2)
+    pl.add_argument("--engines", nargs="+", default=None,
+                    help="restrict the benchmark stage (default: all)")
+    pl.add_argument("--gt_gate", action="store_true")
+    pl.add_argument("--gt_spp", type=int, default=256)
     pl.set_defaults(fn=cmd_pipeline)
 
     return p
