@@ -336,6 +336,13 @@ def _nerf_math(
     short-circuits the per-sample direction work; pass ``dir3=None`` then.
     Returns [B, 4] = (sigma, rgb)."""
 
+    # trunk-matmul hook: the int8-compute path (``ops/quant.py``) swaps in a
+    # quantize-activations + s8xs8->s32 MXU matmul here; the w dict may carry
+    # it under "mm". Heads/direction branch always stay at the float path.
+    mm = w.get("mm") or (
+        lambda a, m: jnp.dot(a, m, preferred_element_type=jnp.float32)
+    )
+
     pos = pos3.astype(jnp.float32)                     # [B, 3]
     enc = _encode(pos, w["f_pos"], Lp, w["w0"].shape[0],
                   fast_sin=(jnp.dtype(dtype) == jnp.bfloat16)).astype(dtype)
@@ -348,14 +355,11 @@ def _nerf_math(
     # the per-layer [B, 256] f32 add/relu/cast chain (3 f32-width VPU
     # passes, profiled at ~½ of kernel time) into one convert plus two
     # half-width passes. The sigma/color heads keep f32 epilogues.
-    x = jax.nn.relu(
-        jnp.dot(enc, w["w0"], preferred_element_type=jnp.float32)
-        .astype(dtype) + w["b0"]
-    )
+    x = jax.nn.relu(mm(enc, w["w0"]).astype(dtype) + w["b0"])
     for i in range(1, 8):
-        y = jnp.dot(x, w["wt"][i - 1], preferred_element_type=jnp.float32)
+        y = mm(x, w["wt"][i - 1])
         if i == skip_pos:
-            y = y + jnp.dot(enc, w["wskip"], preferred_element_type=jnp.float32)
+            y = y + mm(enc, w["wskip"])
         x = jax.nn.relu(y.astype(dtype) + w["bt"][i - 1])
 
     hv = (

@@ -63,6 +63,57 @@ class QuantizedPackedWeights(NamedTuple):
     bc1: jnp.ndarray
 
 
+class Int8PackedWeights(NamedTuple):
+    """``QuantizedPackedWeights`` plus the activation-side contract for
+    *int8 compute*: the trunk matmuls run as s8 x s8 -> s32 on the MXU
+    (2x the bf16 peak on v5e: 394 TOPS vs 197 TFLOP/s) instead of
+    dequantizing to bf16.
+
+    Activation quantization scheme (the part that makes this exact enough):
+
+    - The positional encoding is almost entirely sin/cos values in [-1, 1];
+      only its first 3 columns are raw xyz. ``enc_scale`` ([1, enc_pad],
+      1/pos_bound on the xyz columns, 1.0 elsewhere) maps the whole encoding
+      into [-1, 1], and the matching xyz *rows* of ``w0_q``/``wskip_q`` are
+      pre-multiplied by pos_bound before weight quantization, so the product
+      is unchanged. The encoding then quantizes at a FIXED scale of 127 —
+      8-bit resolution 1/127 ~ bf16's own rounding step (1/256), no row-max
+      reduction needed.
+    - Trunk activations (post-ReLU) quantize per-row (per-sample) against
+      their dynamic absmax inside the kernel.
+    - Heads (sigma/color/direction branch) stay on the bf16 dequant path —
+      they are <10% of the FLOPs and the most precision-sensitive outputs.
+
+    The reference's compressed renderer runs fp16 *compute*
+    (``compressed_renderer.py:181-187``); this is the TPU-native extreme of
+    the same memory/precision/speed trade, with the quality delta quantified
+    by the benchmark quality gates rather than asserted.
+    """
+
+    f_pos: jnp.ndarray
+    f_dir: jnp.ndarray
+    w0_q: jnp.ndarray
+    w0_s: jnp.ndarray
+    b0: jnp.ndarray
+    wt_q: jnp.ndarray
+    wt_s: jnp.ndarray
+    bt: jnp.ndarray
+    wskip_q: jnp.ndarray
+    wskip_s: jnp.ndarray
+    whead_q: jnp.ndarray
+    whead_s: jnp.ndarray
+    bhead: jnp.ndarray
+    wdir_q: jnp.ndarray
+    wdir_s: jnp.ndarray
+    wc0_q: Optional[jnp.ndarray]
+    wc0_s: Optional[jnp.ndarray]
+    bc0: Optional[jnp.ndarray]
+    wc1_q: jnp.ndarray
+    wc1_s: jnp.ndarray
+    bc1: jnp.ndarray
+    enc_scale: jnp.ndarray   # [1, enc_pad] f32: xyz cols 1/pos_bound, else 1
+
+
 def prune_params(params: NeRFParams, prune_fraction: float) -> NeRFParams:
     """Zero the smallest-|w| fraction of every weight matrix (per-tensor
     quantile threshold, reference ``compressed_renderer.py:89-104``). Biases
@@ -120,25 +171,64 @@ def quantize_packed(
     )
 
 
+def quantize_packed_int8(
+    packed: PackedWeights, pos_bound: float = 12.0
+) -> Int8PackedWeights:
+    """Pack for int8 *compute*: like ``quantize_packed(bits=8)`` but the xyz
+    rows of w0/wskip absorb ``pos_bound`` so the encoding activations can use
+    a fixed [-1, 1] -> 127 quantization (see ``Int8PackedWeights``).
+    ``pos_bound`` must bound |sample position| along any rendered ray
+    (|origin| + far * |direction|); out-of-bound coordinates saturate
+    gracefully at the int8 clip."""
+    q = quantize_packed(packed, bits=8)
+    enc_pad = packed.w0.shape[0]
+    scale_rows = jnp.concatenate(
+        [jnp.full((3, 1), pos_bound, jnp.float32),
+         jnp.ones((enc_pad - 3, 1), jnp.float32)], axis=0
+    )
+    w0_q, w0_s = _quantize(
+        jnp.asarray(packed.w0, jnp.float32) * scale_rows, 8)
+    wskip_q, wskip_s = _quantize(
+        jnp.asarray(packed.wskip, jnp.float32) * scale_rows, 8)
+    enc_scale = jnp.concatenate(
+        [jnp.full((1, 3), 1.0 / pos_bound, jnp.float32),
+         jnp.ones((1, enc_pad - 3), jnp.float32)], axis=1
+    )
+    return Int8PackedWeights(
+        *q._replace(w0_q=w0_q, w0_s=w0_s, wskip_q=wskip_q, wskip_s=wskip_s),
+        enc_scale=enc_scale,
+    )
+
+
 def quantize_model(
     params: Dict[str, NeRFParams],
     cfg: ModelConfig,
     bits: int = 8,
     prune_fraction: float = 0.1,
+    act_bits: Optional[int] = None,
+    pos_bound: float = 12.0,
 ) -> Tuple[Dict[str, QuantizedPackedWeights], Dict[str, Any]]:
     """Quantize {'coarse','fine'} params. Returns (quantized, stats report).
+
+    ``act_bits=8`` switches to the int8-*compute* representation
+    (``Int8PackedWeights``: s8 x s8 MXU matmuls, quantized activations);
+    requires ``bits=8``. Default (None) keeps bf16 compute with intN weights
+    dequantized in VMEM.
 
     The stats dict is the reference's compression report capability
     (``compressed_renderer.py:271-309``): original/compressed bytes, ratio,
     sparsity.
     """
+    if act_bits is not None and (act_bits != 8 or bits != 8):
+        raise ValueError("int8 compute requires bits=8, act_bits=8")
     out: Dict[str, QuantizedPackedWeights] = {}
     stats: Dict[str, Any] = {"bits": bits, "prune_fraction": prune_fraction,
-                             "networks": {}}
+                             "act_bits": act_bits, "networks": {}}
     for name, p in params.items():
         pruned = prune_params(p, prune_fraction)
         packed = pack_params(pruned, cfg, dtype=jnp.float32)
-        q = quantize_packed(packed, bits)
+        q = (quantize_packed_int8(packed, pos_bound) if act_bits == 8
+             else quantize_packed(packed, bits))
         out[name] = q
 
         orig_bytes = sum(
@@ -218,12 +308,121 @@ def quant_w_dict(refs, variant: str, dtype):
     return w
 
 
+class _Int8Mat:
+    """An int8 weight matrix + per-output-channel scale, as seen inside the
+    kernel. ``pre`` (optional [1, K] f32) is a static activation pre-scale:
+    when set, activations are assumed bounded to [-1, 1] after multiplying
+    by it (the encoding path) and quantize at a fixed scale of 127; when
+    None, activations quantize per-row against their dynamic absmax."""
+
+    def __init__(self, q, s, pre=None):
+        self.q = q
+        self.s = s
+        self.pre = pre
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+class _Int8TrunkView:
+    """Lazy per-layer view over the stacked trunk (mirrors ``_TrunkView``)."""
+
+    def __init__(self, q_ref, s_ref):
+        self.q_ref = q_ref
+        self.s_ref = s_ref
+
+    def __getitem__(self, i):
+        return _Int8Mat(self.q_ref[i], self.s_ref[i])
+
+
+def _int8_mm(a, m):
+    """Trunk-matmul hook (see ``mlp_kernel._nerf_math``): quantize the
+    activations to int8 and contract on the MXU at the s8 x s8 -> s32 rate.
+    Falls through to the float path for plain arrays."""
+    if not isinstance(m, _Int8Mat):
+        return jnp.dot(a, m, preferred_element_type=jnp.float32)
+    a = a.astype(jnp.float32)
+    if m.pre is not None:
+        # encoding path: fixed scale (values in [-1, 1] after pre-scale);
+        # out-of-bound xyz saturates at the clip instead of wrapping
+        aq = jnp.clip(jnp.round(a * (m.pre * 127.0)), -127.0, 127.0)
+        acc = jax.lax.dot_general(
+            aq.astype(jnp.int8), m.q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * (m.s * (1.0 / 127.0))
+    # dynamic per-row scale: ax == 0 rows produce aq == 0 -> y == 0
+    ax = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+    aq = jnp.round(a * (127.0 / jnp.maximum(ax, 1e-20))).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        aq, m.q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * ax) * (m.s * (1.0 / 127.0))
+
+
+def int8_weight_arrays(q: Int8PackedWeights, variant: str) -> list:
+    """Kernel-argument order for int8-compute weights: the shared quantized
+    order plus ``enc_scale`` appended (paired with ``int8_w_dict``)."""
+    return quant_weight_arrays(q, variant) + [q.enc_scale]
+
+
+def int8_w_dict(refs, variant: str, dtype):
+    """In-kernel weight dict for int8 compute: trunk matrices stay int8
+    (wrapped in ``_Int8Mat`` for the ``mm`` hook), heads dequantize to bf16
+    exactly as ``quant_w_dict`` does."""
+    enc_scale_ref = refs[-1]
+    (f_pos_ref, f_dir_ref, w0q_ref, w0s_ref, b0_ref, wtq_ref, wts_ref, bt_ref,
+     wskq_ref, wsks_ref, whq_ref, whs_ref, bhead_ref, wdq_ref, wds_ref,
+     *rest) = refs[:-1]
+    if variant == "bmild":
+        wc0q_ref, wc0s_ref, bc0_ref, wc1q_ref, wc1s_ref, bc1_ref = rest
+    else:
+        wc1q_ref, wc1s_ref, bc1_ref = rest
+
+    def dq(q_ref, s_ref):
+        return (q_ref[:].astype(jnp.float32) * s_ref[:]).astype(dtype)
+
+    enc_scale = enc_scale_ref[:]
+    w = {
+        "f_pos": f_pos_ref[:], "f_dir": f_dir_ref[:],
+        "w0": _Int8Mat(w0q_ref[:], w0s_ref[:], pre=enc_scale),
+        "b0": b0_ref[:],
+        "wt": _Int8TrunkView(wtq_ref, wts_ref), "bt": bt_ref,
+        "wskip": _Int8Mat(wskq_ref[:], wsks_ref[:], pre=enc_scale),
+        "whead": dq(whq_ref, whs_ref), "bhead": bhead_ref[:],
+        "wdir": dq(wdq_ref, wds_ref),
+        "wc1": dq(wc1q_ref, wc1s_ref), "bc1": bc1_ref[:],
+        "mm": _int8_mm,
+    }
+    if variant == "bmild":
+        w["wc0"] = dq(wc0q_ref, wc0s_ref)
+        w["bc0"] = bc0_ref[:]
+    return w
+
+
+def quant_reprs(q, variant: str, dtype):
+    """(kernel weight arrays, in-kernel dict builder) for either quantized
+    representation — the dispatch shared by ``quantized_nerf_apply`` and the
+    ray-blocked render kernels (``render_kernel._weights_for``)."""
+    if isinstance(q, Int8PackedWeights):
+        return (
+            int8_weight_arrays(q, variant),
+            functools.partial(int8_w_dict, variant=variant, dtype=dtype),
+        )
+    return (
+        quant_weight_arrays(q, variant),
+        functools.partial(quant_w_dict, variant=variant, dtype=dtype),
+    )
+
+
 def _quant_kernel(
     pos_ref, dir_ref, *rest,
-    variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
-    normalize_dirs: bool,
+    w_dict_fn, variant: str, skip_pos: int, Lp: int, Ld: int,
+    relu_sigma: bool, dtype, normalize_dirs: bool,
 ):
-    w = quant_w_dict(rest[:-1], variant, dtype)
+    w = w_dict_fn(rest[:-1])
     out_ref = rest[-1]
     out_ref[:] = _nerf_math(
         pos_ref[:], dir_ref[:], w, variant=variant, skip_pos=skip_pos,
@@ -265,7 +464,7 @@ def quantized_nerf_apply(
     pos3, dir3 = pad_rows(pos), pad_rows(dirs)
     skip_pos = cfg.skip_layer if cfg.variant == "reference" else cfg.skip_layer + 1
 
-    weight_arrays = quant_weight_arrays(q, cfg.variant)
+    weight_arrays, w_dict_fn = quant_reprs(q, cfg.variant, dtype)
 
     weight_specs = [
         pl.BlockSpec(
@@ -277,6 +476,7 @@ def quantized_nerf_apply(
 
     kernel = functools.partial(
         _quant_kernel,
+        w_dict_fn=w_dict_fn,
         variant=cfg.variant,
         skip_pos=skip_pos,
         Lp=cfg.pos_freqs,

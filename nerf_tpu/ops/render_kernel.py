@@ -53,16 +53,13 @@ def _weights_for(params, cfg: ModelConfig, dtype):
     inside VMEM per grid step) — the hook that gives the compressed engine
     the same ray-blocked fused treatment as the pallas engine."""
     from nerf_tpu.ops.quant import (
+        Int8PackedWeights,
         QuantizedPackedWeights,
-        quant_w_dict,
-        quant_weight_arrays,
+        quant_reprs,
     )
 
-    if isinstance(params, QuantizedPackedWeights):
-        return (
-            quant_weight_arrays(params, cfg.variant),
-            functools.partial(quant_w_dict, variant=cfg.variant, dtype=dtype),
-        )
+    if isinstance(params, (QuantizedPackedWeights, Int8PackedWeights)):
+        return quant_reprs(params, cfg.variant, dtype)
     packed = (
         params if isinstance(params, PackedWeights)
         else pack_params(params, cfg, dtype=dtype)

@@ -460,10 +460,14 @@ class CompressedEngine(PallasEngine):
                    "Pallas kernels (dequant in VMEM)")
 
     def __init__(self, shared: SharedModel, chunk_rays: int = 16384,
-                 bits: int = 8, prune_fraction: float = 0.1, **kw):
+                 bits: int = 8, prune_fraction: float = 0.1,
+                 act_bits: Optional[int] = None, pos_bound: float = 12.0,
+                 **kw):
         super().__init__(shared, chunk_rays, **kw)
         self.bits = bits
         self.prune_fraction = prune_fraction
+        self.act_bits = act_bits
+        self.pos_bound = pos_bound
         self._qparams = None
         self._stats = None
 
@@ -480,6 +484,7 @@ class CompressedEngine(PallasEngine):
             self._qparams, self._stats = quantize_model(
                 Engine.engine_params(self), self.cfg.model,
                 bits=self.bits, prune_fraction=self.prune_fraction,
+                act_bits=self.act_bits, pos_bound=self.pos_bound,
             )
         return self._qparams
 
@@ -496,6 +501,16 @@ class CompressedEngine(PallasEngine):
         return make_quantized_apply_fn(interpret=self._interpret)
 
 
+class Int8ComputeEngine(CompressedEngine):
+    name = "int8"
+    description = ("int8 COMPUTE: s8 x s8 -> s32 MXU matmuls (2x bf16 peak "
+                   "on v5e) with quantized activations; heads stay bf16")
+
+    def __init__(self, shared: SharedModel, chunk_rays: int = 16384, **kw):
+        kw.setdefault("act_bits", 8)
+        super().__init__(shared, chunk_rays, **kw)
+
+
 class AccelEngine(PallasEngine):
     name = "accel"
     description = ("occupancy-grid accelerated: fused Pallas MLP + grid-guided "
@@ -505,7 +520,8 @@ class AccelEngine(PallasEngine):
                  grid_resolution: Optional[int] = None,
                  density_threshold: Optional[float] = None,
                  aabb: Optional[Tuple[float, float]] = None,
-                 n_probe: Optional[int] = None, **kw):
+                 n_probe: Optional[int] = None,
+                 probe_resolution: Optional[int] = None, **kw):
         super().__init__(shared, chunk_rays, **kw)
         # scene constants come from Config.accel (per-scene, checkpointable);
         # constructor args are overrides for experimentation
@@ -517,20 +533,34 @@ class AccelEngine(PallasEngine):
         )
         self.aabb = tuple(aabb if aabb is not None else acfg.aabb)
         self.n_probe = n_probe or acfg.n_probe
+        self.probe_resolution = (
+            probe_resolution if probe_resolution is not None
+            else getattr(acfg, "probe_resolution", 0)
+        )
         self._grid = None
 
     def occupancy_grid(self):
         if self._grid is None:
-            from nerf_tpu.ops.occupancy import build_occupancy_grid
+            from nerf_tpu.ops.occupancy import (
+                build_occupancy_grid,
+                downsample_grid,
+            )
 
             # grid baking uses the XLA evaluator: one-time cost, runs
             # identically on every backend (incl. CPU tests)
-            self._grid = build_occupancy_grid(
+            grid = build_occupancy_grid(
                 self.engine_params()["fine"], self.cfg.model,
                 resolution=self.grid_resolution,
                 aabb=self.aabb,
                 density_threshold=self.density_threshold,
             )
+            if self.probe_resolution and self.probe_resolution < grid.resolution:
+                # probe a dilated mip: fewer probes per ray can't miss
+                # matter the full-resolution bake found
+                grid = downsample_grid(
+                    grid, grid.resolution // self.probe_resolution
+                )
+            self._grid = grid
         return self._grid
 
     def z_sampler(self):
@@ -551,6 +581,7 @@ ENGINE_CLASSES = {
     "xla": XLAEngine,
     "pallas": PallasEngine,
     "compressed": CompressedEngine,
+    "int8": Int8ComputeEngine,
     "accel": AccelEngine,
 }
 

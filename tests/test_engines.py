@@ -30,7 +30,7 @@ def shared_random():
 
 def test_engine_registry_probes_all(shared_random):
     engines = available_engines(shared_random)
-    assert set(engines) == {"xla", "pallas", "compressed", "accel"}
+    assert set(engines) == {"xla", "pallas", "compressed", "int8", "accel"}
 
 
 def test_xla_engine_renders(shared_random):
