@@ -97,6 +97,11 @@ class AccelConfig:
     density_threshold: float = 5.0    # sigma above which a cell is occupied
     aabb: Tuple[float, float] = (-1.5, 1.5)   # scene bounds (same per axis)
     n_probe: int = 128                # coarse probes per ray when baking z's
+    probe_resolution: int = 0         # probe a max-pooled (dilated) mip of
+                                      # the grid at this resolution; 0 = use
+                                      # the full grid. Coarser mip -> fewer
+                                      # probes needed (see n_probe) at the
+                                      # cost of looser sample placement
 
 
 @dataclass(frozen=True)

@@ -79,6 +79,26 @@ def build_occupancy_grid(
     )
 
 
+def downsample_grid(grid: OccupancyGrid, factor: int) -> OccupancyGrid:
+    """Conservative (max-pool, i.e. dilating) downsample: a supercell is
+    occupied iff ANY of its factor^3 children is. Probing a coarser grid
+    needs proportionally fewer probes per ray without ever *missing* matter
+    the fine grid knows about — probe spacing only has to undercut the
+    coarse cell size. The cost is looser sample placement (more samples in
+    near-empty supercells), which the GT quality gate prices."""
+    g = grid.resolution
+    assert g % factor == 0, (g, factor)
+    gc = g // factor
+    occ = grid.occupancy.reshape(gc, factor, gc, factor, gc, factor)
+    occ = occ.max(axis=(1, 3, 5))
+    return OccupancyGrid(
+        occupancy=occ.reshape(-1),
+        aabb_lo=grid.aabb_lo,
+        aabb_hi=grid.aabb_hi,
+        resolution=gc,
+    )
+
+
 def query_occupancy(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     """Nearest-cell occupancy lookup for ``points [..., 3]`` -> [...] in
     {0, 1}; out-of-AABB points read 0."""

@@ -75,6 +75,31 @@ def test_empty_ray_falls_back_to_uniformish(lego_grid):
     assert float(jnp.std(z)) > 0.3  # spread out, not collapsed
 
 
+def test_downsample_grid_is_conservative(lego_grid):
+    """Max-pool mip: every occupied fine cell maps into an occupied
+    supercell (dilation, never erosion)."""
+    from nerf_tpu.ops.occupancy import downsample_grid
+
+    mip = downsample_grid(lego_grid, 2)
+    g = lego_grid.resolution
+    assert mip.resolution == g // 2
+    fine = np.asarray(lego_grid.occupancy).reshape(g, g, g)
+    coarse = np.asarray(mip.occupancy).reshape(g // 2, g // 2, g // 2)
+    ix, iy, iz = np.nonzero(fine)
+    assert np.all(coarse[ix // 2, iy // 2, iz // 2] == 1.0)
+    # and it is a max-pool, not all-ones
+    assert coarse.mean() < 1.0
+
+
+def test_probe_resolution_engine_knob():
+    from nerf_tpu.render.engines import AccelEngine, SharedModel
+
+    shared = SharedModel(bmild_config()).load(BMILD_WEIGHTS)
+    accel = AccelEngine(shared, grid_resolution=48, probe_resolution=24)
+    grid = accel.occupancy_grid()
+    assert grid.resolution == 24
+
+
 def test_accel_engine_beats_uniform_at_same_budget():
     """Against a converged high-spp reference, the grid-guided sample
     placement at a small budget must be at least as accurate as uniform
