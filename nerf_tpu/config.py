@@ -96,12 +96,16 @@ class AccelConfig:
     grid_resolution: int = 128
     density_threshold: float = 5.0    # sigma above which a cell is occupied
     aabb: Tuple[float, float] = (-1.5, 1.5)   # scene bounds (same per axis)
-    n_probe: int = 128                # coarse probes per ray when baking z's
-    probe_resolution: int = 0         # probe a max-pooled (dilated) mip of
+    n_probe: int = 96                 # coarse probes per ray when baking z's
+    probe_resolution: int = 64        # probe a max-pooled (dilated) mip of
                                       # the grid at this resolution; 0 = use
                                       # the full grid. Coarser mip -> fewer
                                       # probes needed (see n_probe) at the
-                                      # cost of looser sample placement
+                                      # cost of looser sample placement.
+                                      # Defaults from the committed sweep
+                                      # (results/perf/accel_sweep.json):
+                                      # 64/96 beats the full-grid/128 probe
+                                      # baseline on BOTH quality and speed
 
 
 @dataclass(frozen=True)
