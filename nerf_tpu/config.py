@@ -106,6 +106,16 @@ class AccelConfig:
                                       # (results/perf/accel_sweep.json):
                                       # 64/96 beats the full-grid/128 probe
                                       # baseline on BOTH quality and speed
+    probe_ray_stride: int = 4         # probe every k-th ray and share the
+                                      # occupancy profile with its scanline
+                                      # neighbors; the XLA gather dominates
+                                      # probe cost, so time drops ~k-fold
+                                      # (scripts/probe_microbench.py); 1 =
+                                      # probe every ray. At stride 4 the
+                                      # quality cost is ~0.06 dB vs GT and
+                                      # accel@16 beats uniform-64 on BOTH
+                                      # axes: 23.2 dB @ 1.06M rays/s vs
+                                      # 22.7 dB @ 0.90M (accel_sweep.json)
 
 
 @dataclass(frozen=True)

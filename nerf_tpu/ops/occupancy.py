@@ -122,18 +122,52 @@ def grid_guided_z_vals(
     n_probe: int = 128,
     key: Optional[jax.Array] = None,
     floor: float = 1e-3,
+    ray_stride: int = 1,
 ) -> jnp.ndarray:
     """Place ``n_samples`` depths per ray, concentrated where the occupancy
     grid says the scene is. ``n_probe`` uniform gather-probes per ray build a
     piecewise-constant occupancy pdf; ``floor`` keeps a small uniform
     component so fully-probed-empty rays degrade to uniform sampling (and
-    thin features missed by probing still get some coverage)."""
+    thin features missed by probing still get some coverage).
+
+    ``ray_stride > 1`` probes only every ``stride``-th ray and shares its
+    occupancy profile with the ``stride - 1`` following rays. Rays arrive in
+    scanline order, so a stride group is a run of adjacent pixels whose rays
+    traverse nearly identical grid cells; the XLA occupancy gather is the
+    dominant probe cost on TPU (115 of ~125 ms/frame at 400x300xP96,
+    ``scripts/probe_microbench.py``) and drops by exactly the stride factor.
+    Misses at depth edges are backstopped by the dilated probe mip
+    (``downsample_grid``) + ``floor``, and priced by the GT quality gate
+    (``results/perf/accel_sweep.json``) like every other accel knob."""
+    n_rays = rays_o.shape[0]
     t = (jnp.arange(n_probe, dtype=jnp.float32) + 0.5) / n_probe
-    z_probe = near + (far - near) * t                       # [P]
-    z_probe = jnp.broadcast_to(z_probe, (rays_o.shape[0], n_probe))
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None]
-    occ = query_occupancy(grid, pts)                        # [N, P]
+    z_probe_row = near + (far - near) * t                   # [P]
+    if ray_stride > 1:
+        n_groups = -(-n_rays // ray_stride)
+        rep = jnp.minimum(
+            jnp.arange(n_groups) * ray_stride, n_rays - 1
+        )
+        ro_p = jnp.take(rays_o, rep, axis=0)
+        rd_p = jnp.take(rays_d, rep, axis=0)
+    else:
+        n_groups = n_rays
+        ro_p, rd_p = rays_o, rays_d
+    z_probe = jnp.broadcast_to(z_probe_row, (n_groups, n_probe))
+    pts = ro_p[:, None, :] + rd_p[:, None, :] * z_probe[..., None]
+    occ = query_occupancy(grid, pts)                        # [N/stride, P]
     weights = occ + floor
-    z = sample_pdf(z_probe, weights, n_samples, key=key,
-                   deterministic=(key is None))
+    if key is None:
+        # deterministic quantiles + shared group weights -> identical z per
+        # group, so invert the CDF once per group and repeat; quantiles are
+        # increasing and the inverse CDF is monotone, so z is already sorted
+        # per ray (asserted in tests)
+        z = sample_pdf(z_probe, weights, n_samples, deterministic=True)
+        if ray_stride > 1:
+            z = jnp.repeat(z, ray_stride, axis=0)[:n_rays]
+        return z
+    if ray_stride > 1:
+        weights = jnp.repeat(weights, ray_stride, axis=0)[:n_rays]
+    z_probe_full = jnp.broadcast_to(z_probe_row, (n_rays, n_probe))
+    z = sample_pdf(z_probe_full, weights, n_samples, key=key,
+                   deterministic=False)
     return jnp.sort(z, axis=-1)

@@ -521,7 +521,8 @@ class AccelEngine(PallasEngine):
                  density_threshold: Optional[float] = None,
                  aabb: Optional[Tuple[float, float]] = None,
                  n_probe: Optional[int] = None,
-                 probe_resolution: Optional[int] = None, **kw):
+                 probe_resolution: Optional[int] = None,
+                 probe_ray_stride: Optional[int] = None, **kw):
         super().__init__(shared, chunk_rays, **kw)
         # scene constants come from Config.accel (per-scene, checkpointable);
         # constructor args are overrides for experimentation
@@ -536,6 +537,10 @@ class AccelEngine(PallasEngine):
         self.probe_resolution = (
             probe_resolution if probe_resolution is not None
             else getattr(acfg, "probe_resolution", 0)
+        )
+        self.probe_ray_stride = (
+            probe_ray_stride if probe_ray_stride is not None
+            else getattr(acfg, "probe_ray_stride", 1)
         )
         self._grid = None
 
@@ -568,10 +573,12 @@ class AccelEngine(PallasEngine):
 
         grid = self.occupancy_grid()
         n_probe = self.n_probe
+        stride = self.probe_ray_stride
 
         def fn(ro, rd, spp, rcfg):
             return grid_guided_z_vals(
-                grid, ro, rd, rcfg.near, rcfg.far, spp, n_probe=n_probe
+                grid, ro, rd, rcfg.near, rcfg.far, spp, n_probe=n_probe,
+                ray_stride=stride,
             )
 
         return fn

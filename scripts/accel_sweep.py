@@ -74,11 +74,13 @@ def main():
         print(json.dumps(row), flush=True)
 
     grid_variants = [
-        {"probe_resolution": 0, "n_probe": 128},     # committed baseline
-        {"probe_resolution": 64, "n_probe": 96},
-        {"probe_resolution": 64, "n_probe": 64},
-        {"probe_resolution": 32, "n_probe": 64},
-        {"probe_resolution": 32, "n_probe": 48},
+        {"probe_resolution": 0, "n_probe": 128,      # original full-grid
+         "probe_ray_stride": 1},                     # baseline
+        {"probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 1},
+        {"probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 4},
+        {"probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 8},
+        {"probe_resolution": 32, "n_probe": 48, "probe_ray_stride": 4},
+        {"probe_resolution": 32, "n_probe": 48, "probe_ray_stride": 8},
     ]
     for gv in grid_variants:
         engine = AccelEngine(shared, **gv)

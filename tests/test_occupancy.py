@@ -75,6 +75,45 @@ def test_empty_ray_falls_back_to_uniformish(lego_grid):
     assert float(jnp.std(z)) > 0.3  # spread out, not collapsed
 
 
+def test_ray_stride_shares_group_leader_depths(lego_grid):
+    """stride=k: every ray in a group gets exactly the z-placement its group
+    leader would get at stride=1, including with a ragged tail."""
+    n = 11  # deliberately not divisible by the stride
+    ro = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 4.0]), (n, 3))
+    angles = jnp.linspace(-0.3, 0.3, n)
+    rd = jnp.stack(
+        [jnp.sin(angles), jnp.zeros_like(angles), -jnp.cos(angles)], axis=-1
+    )
+    z4 = grid_guided_z_vals(lego_grid, ro, rd, 2.0, 6.0, 16, ray_stride=4)
+    assert z4.shape == (n, 16)
+    leaders = jnp.asarray([0, 4, 8])
+    z1 = grid_guided_z_vals(
+        lego_grid, ro[leaders], rd[leaders], 2.0, 6.0, 16
+    )
+    for g, lead in enumerate([0, 4, 8]):
+        for i in range(lead, min(lead + 4, n)):
+            np.testing.assert_allclose(
+                np.asarray(z4[i]), np.asarray(z1[g]), rtol=0, atol=0
+            )
+    # deterministic inverse-CDF output must arrive sorted without a sort op
+    assert bool(jnp.all(jnp.diff(z4, axis=-1) >= 0))
+    assert bool(jnp.all((z4 >= 2.0) & (z4 <= 6.0)))
+
+
+def test_ray_stride_stochastic_draws_stay_per_ray(lego_grid):
+    """With a PRNG key, rays in one group share weights but draw
+    independently — depths must differ across the group and stay sorted."""
+    ro = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 4.0]), (4, 3))
+    rd = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (4, 3))
+    z = grid_guided_z_vals(
+        lego_grid, ro, rd, 2.0, 6.0, 16, key=jax.random.PRNGKey(0),
+        ray_stride=4,
+    )
+    assert z.shape == (4, 16)
+    assert not np.allclose(np.asarray(z[0]), np.asarray(z[1]))
+    assert bool(jnp.all(jnp.diff(z, axis=-1) >= 0))
+
+
 def test_downsample_grid_is_conservative(lego_grid):
     """Max-pool mip: every occupied fine cell maps into an occupied
     supercell (dilation, never erosion)."""
