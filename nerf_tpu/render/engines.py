@@ -73,9 +73,24 @@ class SharedModel:
             )
             self.params = {"coarse": coarse, "fine": fine}
         elif checkpoint_path and os.path.exists(checkpoint_path):
-            template = init_train_state(jax.random.PRNGKey(0), cfg)
-            state, _ = restore_checkpoint(checkpoint_path, template)
-            self.params = state.params
+            from nerf_tpu.train.checkpoint import (
+                has_checkpoint_meta,
+                restore_bare_params,
+            )
+
+            if has_checkpoint_meta(checkpoint_path):
+                template = init_train_state(jax.random.PRNGKey(0), cfg)
+                state, _ = restore_checkpoint(checkpoint_path, template)
+                self.params = state.params
+            else:
+                # params-only archive (keystr-flattened), e.g. the committed
+                # convergence checkpoint — benchmarkable without opt state
+                kc, kf = jax.random.split(jax.random.PRNGKey(0))
+                template = {
+                    "coarse": init_nerf_params(kc, cfg.model),
+                    "fine": init_nerf_params(kf, cfg.model),
+                }
+                self.params = restore_bare_params(checkpoint_path, template)
         else:
             if checkpoint_path:
                 print(f"warning: checkpoint {checkpoint_path} not found; "

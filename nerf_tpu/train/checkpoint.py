@@ -80,6 +80,30 @@ def restore_checkpoint(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
     return tree, meta
 
 
+def restore_bare_params(path: str, template: Any) -> Any:
+    """Restore a params-only ``.npz`` keyed by ``jax.tree_util.keystr``
+    paths (e.g. ``['coarse']['trunk'][0]['w']``) — the format evaluation
+    scripts dump with a plain flatten (``results/convergence/
+    final_params.npz``). No ``__meta__``, no optimizer state: just model
+    weights against a params template."""
+    with np.load(path) as data:
+        leaves_paths = jax.tree_util.tree_flatten_with_path(template)
+        restored = []
+        for tpath, _ in leaves_paths[0]:
+            key = jax.tree_util.keystr(tpath)
+            if key not in data:
+                raise KeyError(f"params archive {path} missing leaf {key}")
+            restored.append(jax.numpy.asarray(data[key]))
+        return jax.tree_util.tree_unflatten(leaves_paths[1], restored)
+
+
+def has_checkpoint_meta(path: str) -> bool:
+    """True if ``path`` is a full trainer checkpoint (has the ``__meta__``
+    header), False for a bare params archive."""
+    with np.load(path) as data:
+        return "__meta__" in data
+
+
 _CKPT_RE = re.compile(r"checkpoint_epoch_(\d+)\.npz$")
 
 

@@ -107,3 +107,32 @@ def test_resume_all_corrupt_returns_none(tmp_path):
     (tmp_path / "checkpoint_epoch_1.npz").write_bytes(b"junk")
     t = NeRFTrainer(cfg, (8, 8))
     assert t.try_resume() is None
+
+
+def test_bare_params_archive_loads_through_shared_model(tmp_path):
+    """A params-only npz keyed by jax.tree_util.keystr paths (the format
+    evaluation scripts dump, e.g. results/convergence/final_params.npz)
+    loads through SharedModel without a __meta__ header or optimizer
+    state."""
+    from nerf_tpu.models.nerf import init_nerf_params
+    from nerf_tpu.render.engines import SharedModel
+
+    cfg = default_config()
+    kc, kf = jax.random.split(jax.random.PRNGKey(7))
+    params = {
+        "coarse": init_nerf_params(kc, cfg.model),
+        "fine": init_nerf_params(kf, cfg.model),
+    }
+    flat = {
+        jax.tree_util.keystr(p): np.asarray(leaf)
+        for p, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    path = str(tmp_path / "bare.npz")
+    np.savez(path, **flat)
+
+    shared = SharedModel(cfg).load(path)
+    got = jax.tree_util.tree_leaves(shared.params)
+    want = jax.tree_util.tree_leaves(params)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
