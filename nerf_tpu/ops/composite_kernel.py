@@ -101,10 +101,19 @@ def _pallas_composite(
     # U[t, s] = 1 iff t < s, so (L @ U)[r, s] = sum_{t<s} L[r, t]
     tri = jnp.asarray(np.triu(np.ones((s, s), np.float32), 1))
 
+    # rgb arrives either as [N, S, 3] (XLA-materialized) or as a tuple of
+    # three [N, S] planes straight from the planar render kernels — the
+    # kernel consumes planes either way, so the tuple form skips the
+    # channel-slice relayout entirely
+    if isinstance(rgb, tuple):
+        rgb_r, rgb_g, rgb_b = rgb
+    else:
+        rgb_r, rgb_g, rgb_b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+
     stream = lambda i: (i, 0)
     resident = lambda i: (0, 0)
     args = [
-        padr(sigma), padr(rgb[..., 0]), padr(rgb[..., 1]), padr(rgb[..., 2]),
+        padr(sigma), padr(rgb_r), padr(rgb_g), padr(rgb_b),
         padr(z_vals, 1.0), padr(dnorm, 1.0), tri,
     ]
     in_specs = [
@@ -173,7 +182,11 @@ def _fvr_bwd(cfg, block, interpret, residuals, ct):
     sigma, rgb, z_vals, rays_d = residuals
 
     def f(sigma, rgb, z_vals, rays_d):
-        return tuple(volume_render(sigma, rgb, z_vals, rays_d, cfg))
+        # the planar form (tuple of [N, S] planes) stacks to [N, S, 3] for
+        # the jnp recompute; jax.vjp mirrors the pytree back as tuple
+        # cotangents automatically
+        rgb_arr = jnp.stack(rgb, axis=-1) if isinstance(rgb, tuple) else rgb
+        return tuple(volume_render(sigma, rgb_arr, z_vals, rays_d, cfg))
 
     _, vjp = jax.vjp(f, sigma, rgb, z_vals, rays_d)
     return vjp(tuple(ct))

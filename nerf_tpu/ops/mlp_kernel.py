@@ -325,6 +325,7 @@ def _nerf_math(
     pos3, dir3, w: Dict[str, Any], *,
     variant: str, skip_pos: int, Lp: int, Ld: int, relu_sigma: bool, dtype,
     normalize_dirs: bool = False, cdir: Optional[jnp.ndarray] = None,
+    split_out: bool = False,
 ):
     """The full network on loaded arrays (shared by the plain kernel and the
     int8-dequant kernel in ``ops/quant.py``). ``w`` maps PackedWeights field
@@ -388,6 +389,10 @@ def _nerf_math(
         jnp.dot(c.astype(dtype), w["wc1"], preferred_element_type=jnp.float32)
         + w["bc1"].astype(jnp.float32)
     )
+    if split_out:
+        # planar consumers (the ray-blocked kernels' per-channel [R, S]
+        # outputs) take sigma/rgb unconcatenated
+        return sigma, rgb
     return jnp.concatenate([sigma, rgb], axis=-1)
 
 

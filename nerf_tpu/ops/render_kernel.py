@@ -70,13 +70,51 @@ def _weights_for(params, cfg: ModelConfig, dtype):
     )
 
 
+def _plane_writer(sel, n_samples: int):
+    """Build a writer that scatters per-sample [B, 1] channel columns into
+    per-ray [R_b, S] planes entirely on the MXU — the planar layout the
+    fused compositor consumes (four separate [R, S] inputs), so the
+    interleaved [B, 4] output's channel de-interleave never happens as a
+    strided HBM copy outside the kernel (it was ``copy.20``, 21 ms/frame =
+    6% of the 800x600@64 headline in the round-3 trace). Mechanics:
+    ``plane = selT @ (c * onehot_s)`` where ``selT [R_b, B]`` is the
+    transposed one-hot ray selector and ``onehot_s [B, S]`` places row
+    ``n = r*S + s`` in column ``s`` — every output element is one exact
+    ``1.0 * c[n]`` product, so the result is bit-identical to a gather."""
+    B, R_b = sel.shape
+    S = n_samples
+    rowT = jax.lax.broadcasted_iota(jnp.int32, (R_b, B), 0)
+    colT = jax.lax.broadcasted_iota(jnp.int32, (R_b, B), 1)
+    selT = (colT // S == rowT).astype(jnp.float32)
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+    zcol = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    onehot_s = (zrow % S == zcol).astype(jnp.float32)
+
+    def to_plane(c):                                   # [B, 1] -> [R_b, S]
+        return jnp.dot(selT, c * onehot_s,
+                       preferred_element_type=jnp.float32)
+
+    return to_plane
+
+
+def _write_planar(out_refs, sigma, rgb, sel, n_samples: int):
+    to_plane = _plane_writer(sel, n_samples)
+    sig_ref, r_ref, g_ref, b_ref = out_refs
+    sig_ref[:] = to_plane(sigma)
+    r_ref[:] = to_plane(rgb[:, 0:1])
+    g_ref[:] = to_plane(rgb[:, 1:2])
+    b_ref[:] = to_plane(rgb[:, 2:3])
+
+
 def _ray_kernel(
     o_ref, d_ref, *rest,
     w_dict_fn, variant: str, skip_pos: int, Lp: int, Ld: int,
     relu_sigma: bool, dtype,
     normalize_dirs: bool, n_samples: int, near: float, far: float,
+    planar: bool = False,
 ):
-    w = w_dict_fn(rest[:-1])
+    n_out = 4 if planar else 1
+    w = w_dict_fn(rest[:-n_out])
     out_ref = rest[-1]
 
     o = o_ref[:]                                   # [R_b, 3]
@@ -113,6 +151,15 @@ def _ray_kernel(
                            normalize_dirs=normalize_dirs)   # [R_b, 128]
     cdir = jnp.dot(sel, cdir_ray, preferred_element_type=jnp.float32)
 
+    if planar:
+        sigma, rgb = _nerf_math(
+            pos, None, w, variant=variant, skip_pos=skip_pos,
+            Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+            normalize_dirs=normalize_dirs, cdir=cdir, split_out=True,
+        )
+        _write_planar(rest[-4:], sigma, rgb, sel, S)
+        return
+
     out_ref[:] = _nerf_math(
         pos, None, w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
@@ -131,11 +178,16 @@ def fused_render_samples(
     block_samples: int = 2048,
     dtype: Any = jnp.bfloat16,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    planar: bool = False,
+) -> Tuple[jnp.ndarray, Any, jnp.ndarray]:
     """Evaluate the network at uniform depths along every ray, generating the
     samples inside the kernel. Returns ``(sigma [R, S], rgb [R, S, 3],
     z_vals [R, S])``. Inference path (no VJP); requires S <= block_samples.
-    """
+
+    ``planar=True`` returns rgb as a tuple of three ``[R, S]`` planes written
+    directly by the kernel — the layout the fused compositor consumes — so
+    the channel de-interleave never runs as a strided HBM copy (see
+    ``_plane_writer``)."""
     S = n_samples
     assert S >= 2, "need at least 2 samples for the linspace"
     block_rays = max(1, block_samples // S)
@@ -177,7 +229,19 @@ def fused_render_samples(
         n_samples=S,
         near=float(near),
         far=float(far),
+        planar=planar,
     )
+
+    if planar:
+        plane_spec = pl.BlockSpec((block_rays, S), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        plane_shape = jax.ShapeDtypeStruct((r_pad, S), jnp.float32)
+        out_specs = (plane_spec,) * 4
+        out_shape = (plane_shape,) * 4
+    else:
+        out_specs = pl.BlockSpec((block_rays * S, 4), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -189,9 +253,8 @@ def fused_render_samples(
                          memory_space=pltpu.VMEM),
             *weight_specs,
         ],
-        out_specs=pl.BlockSpec((block_rays * S, 4), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             # wide blocks (the MXU-schedule lever, docs/PERF.md) exceed the
@@ -201,11 +264,14 @@ def fused_render_samples(
         interpret=interpret,
     )(rays_o, rays_d, *weight_arrays)
 
+    t = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)
+    z_vals = jnp.broadcast_to(near + (far - near) * t, (r, S))
+    if planar:
+        sig, rr, gg, bb = out
+        return sig[:r], (rr[:r], gg[:r], bb[:r]), z_vals
     out = out.reshape(r_pad, S, 4)[:r]             # r-major: direct reshape
     sigma = out[..., 0]
     rgb = out[..., 1:4]
-    t = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)
-    z_vals = jnp.broadcast_to(near + (far - near) * t, (r, S))
     return sigma, rgb, z_vals
 
 
@@ -219,8 +285,10 @@ def _ray_z_kernel(
     w_dict_fn, variant: str, skip_pos: int, Lp: int, Ld: int,
     relu_sigma: bool, dtype,
     normalize_dirs: bool, n_samples: int,
+    planar: bool = False,
 ):
-    w = w_dict_fn(rest[:-1])
+    n_out = 4 if planar else 1
+    w = w_dict_fn(rest[:-n_out])
     out_ref = rest[-1]
 
     o = o_ref[:]                                   # [R_b, 3]
@@ -256,6 +324,15 @@ def _ray_z_kernel(
                            normalize_dirs=normalize_dirs)         # [R_b, 128]
     cdir = jnp.dot(sel, cdir_ray, preferred_element_type=jnp.float32)
 
+    if planar:
+        sigma, rgb = _nerf_math(
+            pos, None, w, variant=variant, skip_pos=skip_pos,
+            Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+            normalize_dirs=normalize_dirs, cdir=cdir, split_out=True,
+        )
+        _write_planar(rest[-4:], sigma, rgb, sel, S)
+        return
+
     out_ref[:] = _nerf_math(
         pos, None, w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
@@ -272,7 +349,8 @@ def _zvals_forward(
     block_samples: int,
     dtype: Any,
     interpret: bool,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    planar: bool = False,
+) -> Tuple[jnp.ndarray, Any]:
     r, S = z_vals.shape
     block_rays = max(8, (block_samples // S) // 8 * 8)
     r_pad = _round_up(max(r, block_rays), block_rays)
@@ -310,7 +388,19 @@ def _zvals_forward(
         dtype=dtype,
         normalize_dirs=cfg.normalize_dirs,
         n_samples=S,
+        planar=planar,
     )
+
+    if planar:
+        plane_spec = pl.BlockSpec((block_rays, S), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        plane_shape = jax.ShapeDtypeStruct((r_pad, S), jnp.float32)
+        out_specs = (plane_spec,) * 4
+        out_shape = (plane_shape,) * 4
+    else:
+        out_specs = pl.BlockSpec((block_rays * S, 4), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -324,9 +414,8 @@ def _zvals_forward(
                          memory_space=pltpu.VMEM),
             *weight_specs,
         ],
-        out_specs=pl.BlockSpec((block_rays * S, 4), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             # wide blocks (the MXU-schedule lever, docs/PERF.md) exceed the
@@ -336,6 +425,9 @@ def _zvals_forward(
         interpret=interpret,
     )(rays_o, rays_d, z_vals, *weight_arrays)
 
+    if planar:
+        sig, rr, gg, bb = out
+        return sig[:r], (rr[:r], gg[:r], bb[:r])
     out = out.reshape(r_pad, S, 4)[:r]             # r-major: direct reshape
     return out[..., 0], out[..., 1:4]
 
@@ -386,3 +478,24 @@ def _zvals_bwd(cfg, block_samples, dtype, interpret, residuals, cotangents):
 
 
 fused_render_zvals.defvjp(_zvals_fwd, _zvals_bwd)
+
+
+def fused_render_zvals_planar(
+    params: NeRFParams,
+    rays_o: jnp.ndarray,      # [R, 3]
+    rays_d: jnp.ndarray,      # [R, 3]
+    z_vals: jnp.ndarray,      # [R, S]
+    cfg: ModelConfig,
+    block_samples: int = 2048,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Inference-only variant of ``fused_render_zvals`` whose rgb comes back
+    as three ``[R, S]`` planes written by the kernel (see ``_plane_writer``)
+    — the fused compositor's native input layout, skipping the interleaved
+    output's channel de-interleave copy. The VJP-carrying
+    ``fused_render_zvals`` keeps the ``[R, S, 3]`` contract for training."""
+    return _zvals_forward(
+        params, rays_o, rays_d, z_vals, cfg, block_samples, dtype, interpret,
+        planar=True,
+    )

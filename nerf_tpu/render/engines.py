@@ -448,23 +448,31 @@ class PallasEngine(Engine):
         block_samples = self._block_samples
 
         def fn(params, ro, rd, near, far, spp):
+            # planar: rgb comes back as three [R, S] planes — the fused
+            # compositor's native input — so the channel de-interleave
+            # never runs as a strided HBM copy (docs/PERF.md, copy.20)
             return fused_render_samples(
                 params, ro, rd, near, far, spp, mcfg,
                 block_samples=block_samples, interpret=interpret,
+                planar=True,
             )
 
         return fn
 
     def zvals_eval_fn(self):
-        from nerf_tpu.ops.render_kernel import fused_render_zvals
+        from nerf_tpu.ops.render_kernel import fused_render_zvals_planar
 
         interpret = self._interpret
         mcfg = self.cfg.model
         block_samples = self._block_samples
 
         def fn(params, ro, rd, z):
-            return fused_render_zvals(params, ro, rd, z, mcfg,
-                                      block_samples, interpret=interpret)
+            # planar rgb planes feed the fused compositor directly (render
+            # paths are inference; training uses the VJP-carrying
+            # fused_render_zvals / train kernels)
+            return fused_render_zvals_planar(params, ro, rd, z, mcfg,
+                                             block_samples,
+                                             interpret=interpret)
 
         return fn
 

@@ -202,3 +202,77 @@ def test_zvals_bmild_weights_hierarchical_shape(rays):
                                     block_samples=256, interpret=True)
     assert sigma.shape == z.shape and rgb.shape == z.shape + (3,)
     assert bool(jnp.all(jnp.isfinite(sigma))) and bool(jnp.all((rgb >= 0) & (rgb <= 1)))
+
+
+def test_planar_outputs_bit_identical_to_interleaved(rays):
+    """planar=True scatters channels into [R, S] planes via exact one-hot
+    matmuls (every element is one 1.0*x product) — bit-identical to the
+    interleaved output, just already in the compositor's input layout."""
+    rays_o, rays_d = rays
+    cfg = ModelConfig()
+    params = init_nerf_params(jax.random.PRNGKey(1), cfg)
+    s_i, c_i, z_i = fused_render_samples(
+        params, rays_o, rays_d, 2.0, 6.0, 16, cfg,
+        block_samples=128, dtype=jnp.float32, interpret=True,
+    )
+    s_p, planes, z_p = fused_render_samples(
+        params, rays_o, rays_d, 2.0, 6.0, 16, cfg,
+        block_samples=128, dtype=jnp.float32, interpret=True, planar=True,
+    )
+    assert isinstance(planes, tuple) and len(planes) == 3
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_i))
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(planes[c]), np.asarray(c_i[..., c])
+        )
+    np.testing.assert_array_equal(np.asarray(z_p), np.asarray(z_i))
+
+
+def test_planar_zvals_bit_identical_to_interleaved(rays):
+    from nerf_tpu.ops.render_kernel import (
+        fused_render_zvals,
+        fused_render_zvals_planar,
+    )
+
+    rays_o, rays_d = rays
+    cfg = ModelConfig()
+    params = init_nerf_params(jax.random.PRNGKey(2), cfg)
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(3), (rays_o.shape[0], 16),
+                           minval=2.0, maxval=6.0), axis=-1
+    )
+    s_i, c_i = fused_render_zvals(params, rays_o, rays_d, z, cfg,
+                                  128, jnp.float32, True)
+    s_p, planes = fused_render_zvals_planar(params, rays_o, rays_d, z, cfg,
+                                            128, jnp.float32, True)
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_i))
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(planes[c]), np.asarray(c_i[..., c])
+        )
+
+
+def test_composite_accepts_plane_tuple(rays):
+    """fused_volume_render consumes rgb as a tuple of [N, S] planes (the
+    planar kernels' output) identically to the stacked [N, S, 3] array."""
+    from nerf_tpu.config import RenderConfig
+    from nerf_tpu.ops.composite_kernel import fused_volume_render
+
+    rays_o, rays_d = rays
+    key = jax.random.PRNGKey(4)
+    n, s = rays_o.shape[0], 16
+    sigma = jax.random.normal(key, (n, s))
+    rgb = jax.random.uniform(jax.random.PRNGKey(5), (n, s, 3))
+    z = jnp.sort(
+        jax.random.uniform(jax.random.PRNGKey(6), (n, s), minval=2.0,
+                           maxval=6.0), axis=-1
+    )
+    rcfg = RenderConfig()
+    a = fused_volume_render(sigma, rgb, z, rays_d, rcfg, interpret=True)
+    b = fused_volume_render(
+        sigma, (rgb[..., 0], rgb[..., 1], rgb[..., 2]), z, rays_d, rcfg,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(np.asarray(a.weights), np.asarray(b.weights))
