@@ -408,7 +408,7 @@ class PallasEngine(Engine):
 
     def __init__(self, shared: SharedModel, chunk_rays: int = 16384,
                  block: int = 2048, block_samples: int = 2048,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, planar: bool = False):
         super().__init__(shared, chunk_rays)
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
@@ -416,6 +416,8 @@ class PallasEngine(Engine):
 
         self._apply = make_pallas_apply_fn(block=block, interpret=interpret)
         self._interpret = interpret
+        # Opt-in planar output layout; see sample_eval_fn for why it is off.
+        self._planar = planar
         # MXU-schedule knob: rows per ray-blocked kernel grid step. Wider
         # blocks trade VMEM for matmul shape/pipeline depth (docs/PERF.md).
         self._block_samples = block_samples
@@ -447,32 +449,44 @@ class PallasEngine(Engine):
         mcfg = self.cfg.model
         block_samples = self._block_samples
 
+        planar = self._planar
+
         def fn(params, ro, rd, near, far, spp):
-            # planar: rgb comes back as three [R, S] planes — the fused
-            # compositor's native input — so the channel de-interleave
-            # never runs as a strided HBM copy (docs/PERF.md, copy.20)
+            # planar (opt-in, off by default): rgb as three [R, S] planes —
+            # the fused compositor's native input, skipping the channel
+            # de-interleave copy (docs/PERF.md, copy.20). Round 3 shipped
+            # planar=True validated only in interpret mode; on real TPU the
+            # plane-writer's one-hot matmul scatter hangs Mosaic lowering
+            # (BENCH_r03 rc=124), so the interleaved [B,4] layout is the
+            # default until a TPU-compiling plane writer lands.
             return fused_render_samples(
                 params, ro, rd, near, far, spp, mcfg,
                 block_samples=block_samples, interpret=interpret,
-                planar=True,
+                planar=planar,
             )
 
         return fn
 
     def zvals_eval_fn(self):
-        from nerf_tpu.ops.render_kernel import fused_render_zvals_planar
+        from nerf_tpu.ops.render_kernel import (
+            fused_render_zvals,
+            fused_render_zvals_planar,
+        )
 
         interpret = self._interpret
         mcfg = self.cfg.model
         block_samples = self._block_samples
 
-        def fn(params, ro, rd, z):
-            # planar rgb planes feed the fused compositor directly (render
-            # paths are inference; training uses the VJP-carrying
-            # fused_render_zvals / train kernels)
-            return fused_render_zvals_planar(params, ro, rd, z, mcfg,
-                                             block_samples,
-                                             interpret=interpret)
+        if self._planar:
+            def fn(params, ro, rd, z):
+                return fused_render_zvals_planar(params, ro, rd, z, mcfg,
+                                                 block_samples,
+                                                 interpret=interpret)
+        else:
+            def fn(params, ro, rd, z):
+                return fused_render_zvals(params, ro, rd, z, mcfg,
+                                          block_samples,
+                                          interpret=interpret)
 
         return fn
 
