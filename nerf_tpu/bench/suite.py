@@ -187,6 +187,13 @@ class UnifiedBenchmarkSuite:
             refs[(v, res)] = self.engines[reference_engine].render_image(
                 poses[v], res, spp, focal=focal, monitor=False
             )
+        # A cell whose reference render is (near-)uniform — an orbit view
+        # facing empty space — saturates PSNR at the metric cap and would
+        # inflate every mean it enters. Flag those cells and aggregate over
+        # informative cells only (per-cell values stay in the report).
+        degenerate = {
+            k: bool(np.asarray(r.rgb).std() < 0.05) for k, r in refs.items()
+        }
         for name, engine in self.engines.items():
             if name == reference_engine:
                 continue
@@ -199,16 +206,22 @@ class UnifiedBenchmarkSuite:
                                    jnp.asarray(refs[(v, res)].rgb)))
                     s = float(ssim(jnp.asarray(out.rgb),
                                    jnp.asarray(refs[(v, res)].rgb)))
-                    psnrs.append(p)
-                    ssims.append(s)
+                    if not degenerate[(v, res)]:
+                        psnrs.append(p)
+                        ssims.append(s)
                     per_cell[f"view{v}_{res[0]}x{res[1]}"] = {
                         "psnr_db": p, "ssim": s,
+                        "degenerate": degenerate[(v, res)],
                     }
+                if not psnrs:  # every view empty: report raw, but say so
+                    psnrs = [c["psnr_db"] for c in per_cell.values()]
+                    ssims = [c["ssim"] for c in per_cell.values()]
                 report[name] = {
                     "psnr_db": float(np.mean(psnrs)),
                     "psnr_db_min": float(np.min(psnrs)),
                     "ssim": float(np.mean(ssims)),
                     "ssim_min": float(np.min(ssims)),
+                    "cells_aggregated": len(psnrs),
                     "cells": per_cell,  # type: ignore
                 }
                 print(f"  quality {name} vs {reference_engine}: "
@@ -216,7 +229,7 @@ class UnifiedBenchmarkSuite:
                       f"(min {report[name]['psnr_db_min']:.1f}), "
                       f"SSIM {report[name]['ssim']:.4f} "
                       f"(min {report[name]['ssim_min']:.4f}) "
-                      f"over {len(cells)} cells")
+                      f"over {len(psnrs)}/{len(cells)} informative cells")
             except Exception as e:
                 report[name] = {"error": f"{type(e).__name__}: {e}"}  # type: ignore
                 print(f"  quality {name} failed: {e}")
@@ -254,10 +267,19 @@ class UnifiedBenchmarkSuite:
             ).rgb
             for v in range(n_views)
         ]
+        # Empty-space views saturate PSNR at the cap; aggregate over
+        # informative views only (per-view values stay in each cell).
+        informative = [v for v in range(n_views)
+                       if float(np.asarray(gts[v]).std()) >= 0.05]
+        agg_views = informative or list(range(n_views))
         report: Dict[str, Dict[str, Dict[str, float]]] = {
             "_meta": {  # type: ignore
                 "gt_engine": gt_engine, "gt_spp": gt_spp,
                 "resolution": list(resolution), "n_views": n_views,
+                "views_aggregated": agg_views,
+                "views_excluded_degenerate": [
+                    v for v in range(n_views) if v not in agg_views
+                ],
             }
         }
         names = engines if engines is not None else list(self.engines)
@@ -280,9 +302,13 @@ class UnifiedBenchmarkSuite:
                                                 jnp.asarray(gts[v]))))
                         times.append(out.stats.wall_time_s)
                     cell = {
-                        "psnr_db_vs_gt": float(np.mean(psnrs)),
-                        "ssim_vs_gt": float(np.mean(ssims)),
+                        "psnr_db_vs_gt": float(np.mean(
+                            [psnrs[v] for v in agg_views])),
+                        "ssim_vs_gt": float(np.mean(
+                            [ssims[v] for v in agg_views])),
                         "rays_per_second": float(w * h / np.mean(times)),
+                        "psnr_db_per_view": [round(p, 2) for p in psnrs],
+                        "ssim_per_view": [round(s, 4) for s in ssims],
                     }
                     report[name][str(spp)] = cell
                     print(f"  gt-gate {name}@{spp}: "

@@ -41,7 +41,22 @@ def _parse_resolutions(vals: List[str]):
     return out
 
 
+def _maybe_init_distributed(args) -> None:
+    """Wire the CLI's multi-host flags to ``jax.distributed.initialize``
+    BEFORE any other jax call on this host (required ordering). No-op for
+    single-process runs. Exact commands: docs/SCALING.md."""
+    if getattr(args, "num_processes", 0) and args.num_processes > 1:
+        from nerf_tpu.parallel.train import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+
 def cmd_train(args) -> int:
+    _maybe_init_distributed(args)
     import jax.numpy as jnp
 
     from nerf_tpu.config import default_config
@@ -72,6 +87,9 @@ def cmd_train(args) -> int:
         val_ds = make_procedural_dataset(n_views=4, img_wh=(w, h), seed=1,
                                          split="val")
 
+    if getattr(args, "num_processes", 0) and args.num_processes > 1:
+        return _train_distributed(args, cfg, train_ds, (h, w))
+
     trainer = NeRFTrainer(cfg, (h, w))
     if args.streaming_steps:
         if not args.no_resume:
@@ -83,6 +101,60 @@ def cmd_train(args) -> int:
     path = trainer.save_checkpoint("final_model.npz")
     trainer.plot_losses()
     print(f"final checkpoint: {path}")
+    return 0
+
+
+def _train_distributed(args, cfg, train_ds, img_hw) -> int:
+    """Multi-host training loop: every host runs this same program, the ray
+    axis shards over the GLOBAL device mesh, grads all-reduce via the
+    XLA-derived collective (``parallel/train.py``). Hosts feed identical
+    per-step inputs (replicated sharding), process 0 logs and saves. The
+    pod-slice capability the reference lacks entirely (SURVEY.md §2.2);
+    exact 2-process CPU rehearsal commands: docs/SCALING.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        shard_train_state,
+    )
+    from nerf_tpu.train.checkpoint import save_checkpoint
+    from nerf_tpu.train.trainer import init_train_state
+
+    h, w = img_hw
+    pid = jax.process_index()
+    n_dev = len(jax.devices())
+    print(f"[proc {pid}/{jax.process_count()}] global devices: {n_dev}")
+
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    state = shard_train_state(init_train_state(jax.random.PRNGKey(0), cfg),
+                              mesh)
+    step = make_sharded_train_step(cfg, (h, w), mesh, donate=False)
+
+    n_views = train_ds.images.shape[0]
+    n_steps = args.streaming_steps or args.epochs * n_views
+    key = jax.random.PRNGKey(1)  # same on every host: replicated inputs
+    focal = jnp.float32(train_ds.focal)
+    loss = float("nan")
+    for i in range(n_steps):
+        v = i % n_views
+        key, k = jax.random.split(key)
+        state, metrics = step(state, jnp.asarray(train_ds.images[v]),
+                              jnp.asarray(train_ds.poses[v]), focal, k)
+        if pid == 0 and ((i + 1) % 100 == 0 or i + 1 == n_steps):
+            loss = float(metrics["loss"])
+            print(f"step {i + 1}/{n_steps} loss={loss:.6f}", flush=True)
+    if loss != loss:
+        loss = float(metrics["loss"])
+    print(f"PROC {pid} FINAL LOSS {loss:.8f}", flush=True)
+    if pid == 0:
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        path = os.path.join(args.checkpoint_dir, "final_model.npz")
+        # fully-addressable on every host (replicated params): host 0 writes
+        save_checkpoint(path, jax.device_get(state),
+                        {"config": cfg.to_dict(), "distributed": True})
+        print(f"final checkpoint: {path}")
     return 0
 
 
@@ -213,6 +285,7 @@ def cmd_compare(args) -> int:
 
 def cmd_scale(args) -> int:
     """Scaling report: rays/s and parallel efficiency over 1..N devices."""
+    _maybe_init_distributed(args)
     import jax
 
     from nerf_tpu.bench.scaling import scaling_report
@@ -357,6 +430,19 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output_dir", default="outputs")
         sp.add_argument("--checkpoint_dir", default="checkpoints")
 
+    def distributed(sp):
+        """Multi-host bring-up flags (``jax.distributed.initialize``) — the
+        pod-slice entry point docs/SCALING.md describes; single-process when
+        omitted."""
+        sp.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 (all hosts pass the "
+                             "same value)")
+        sp.add_argument("--num_processes", type=int, default=0,
+                        help="total hosts in the pod slice (0 = "
+                             "single-process)")
+        sp.add_argument("--process_id", type=int, default=None,
+                        help="this host's index in [0, num_processes)")
+
     t = sub.add_parser("train", help="train a NeRF")
     common(t)
     t.add_argument("--data_dir", default="data/nerf_synthetic/lego")
@@ -368,6 +454,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of the per-image epoch loop")
     t.add_argument("--n_rays", type=int, default=0,
                    help="rays per train step (0 = config default, 2048)")
+    distributed(t)
     t.set_defaults(fn=cmd_train)
 
     b = sub.add_parser("benchmark", help="run the unified benchmark")
@@ -425,6 +512,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--focal", type=float, default=800.0)
     s.add_argument("--devices", nargs="+", default=None)
     s.add_argument("--output_dir", default="outputs")
+    distributed(s)
     s.set_defaults(fn=cmd_scale)
 
     pl = sub.add_parser("pipeline", help="train then benchmark (reference main.py)")
@@ -455,6 +543,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    platform = os.environ.get("NERF_TPU_PLATFORM")
+    if platform:
+        # Explicit platform override for subprocess drivers (the container's
+        # sitecustomize force-registers the TPU backend and wins over the
+        # JAX_PLATFORMS env var; a config update beats both). Used by the
+        # 2-process CPU distributed rehearsal (docs/SCALING.md) and tests.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     from nerf_tpu.utils.cache import enable_compilation_cache
 

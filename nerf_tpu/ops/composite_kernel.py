@@ -66,9 +66,12 @@ def _composite_kernel(
     # reassociation-proof and differs from the reference's `+eps` by at
     # most eps itself.
     log_t = jnp.log(jnp.maximum(1.0 - alpha, jnp.float32(eps)))
-    # exclusive prefix product via triangular matmul (see module docstring)
+    # exclusive prefix product via triangular matmul (see module docstring);
+    # HIGHEST keeps the partial sums at true f32 (TPU default f32 matmul is
+    # a single bf16 pass — ~1e-3 abs error on rgb, measured)
     t_excl = jnp.exp(
-        jnp.dot(log_t, tri_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(log_t, tri_ref[:], precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
     )
     w = alpha * t_excl                                  # [R, S]
     w_ref[:] = w
@@ -82,6 +85,149 @@ def _composite_kernel(
     out_ref[:] = jnp.concatenate(
         [rgb_r, rgb_g, rgb_b, depth, acc, pad, pad, pad], axis=1
     )
+
+
+def _composite_kernel_interleaved(
+    raw_ref, p_sig_ref, p_r_ref, p_g_ref, p_b_ref, z_ref, dnorm_ref, tri_ref,
+    out_ref, w_ref, *, sentinel: float, eps: float, n_samples: int,
+):
+    """Composite straight from the render kernel's interleaved output.
+
+    ``raw_ref`` holds [block, 4S] rows — the ray-blocked kernel's r-major
+    [B, 4] output viewed as [R, 4S] (row r = (sigma, r, g, b) per sample,
+    s-major; the view is a FREE reshape, row-major contiguous both ways).
+    The per-channel [R, S] planes are built here, in VMEM, by four
+    [block, 4S] x [4S, S] matmuls against constant one-hot selectors passed
+    as kernel *inputs* (P_c[4s + c, s] = 1) — each output element is one
+    exact 1.0 * x product (bit-identical to a gather), ~0.4% of frame FLOPs
+    on the MXU. This kills the channel de-interleave that ran as a strided
+    HBM copy between the kernels (``copy.20``, 21 ms = 6% of the 800x600@64
+    headline), replacing the round-3 planar-output attempt whose in-kernel
+    iota scatter hung Mosaic lowering (BENCH_r03; scripts/planar_probe.py
+    documents the probes)."""
+    raw = raw_ref[:]                                    # [R, 4S]
+    # HIGHEST precision is required for exactness: TPU DEFAULT f32 matmul is
+    # a single bf16 pass, which would round every sigma/rgb value to bf16 on
+    # the way through the selector (caught by the TPU allclose probe; the
+    # multi-pass f32 algorithm is exact for a one-hot operand)
+    hi = jax.lax.Precision.HIGHEST
+    sigma = jnp.dot(raw, p_sig_ref[:], precision=hi,
+                    preferred_element_type=jnp.float32)
+    r = jnp.dot(raw, p_r_ref[:], precision=hi,
+                preferred_element_type=jnp.float32)
+    g = jnp.dot(raw, p_g_ref[:], precision=hi,
+                preferred_element_type=jnp.float32)
+    b = jnp.dot(raw, p_b_ref[:], precision=hi,
+                preferred_element_type=jnp.float32)
+
+    z = z_ref[:]                                        # [R, S]
+    dnorm = dnorm_ref[:]                                # [R, 1]
+    z_next = pltpu.roll(z, shift=n_samples - 1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    is_last = col == (n_samples - 1)
+    dists = jnp.where(is_last, jnp.float32(sentinel), z_next - z)
+    dists = dists * dnorm
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    log_t = jnp.log(jnp.maximum(1.0 - alpha, jnp.float32(eps)))
+    # HIGHEST: default bf16 one-pass rounds the log-transmittance partial
+    # sums (~1e-3 abs on rgb); the [R,S]x[S,S] dot is <1% of frame FLOPs
+    t_excl = jnp.exp(
+        jnp.dot(log_t, tri_ref[:], precision=hi,
+                preferred_element_type=jnp.float32)
+    )
+    w = alpha * t_excl                                  # [R, S]
+    w_ref[:] = w
+
+    rgb_r = jnp.sum(w * r, axis=1, keepdims=True)
+    rgb_g = jnp.sum(w * g, axis=1, keepdims=True)
+    rgb_b = jnp.sum(w * b, axis=1, keepdims=True)
+    depth = jnp.sum(w * z, axis=1, keepdims=True)
+    acc = jnp.sum(w, axis=1, keepdims=True)
+    pad = jnp.zeros_like(acc)
+    out_ref[:] = jnp.concatenate(
+        [rgb_r, rgb_g, rgb_b, depth, acc, pad, pad, pad], axis=1
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _channel_selectors(s: int):
+    """Constant one-hot de-interleave selectors: P_c [4S, S] with
+    P_c[4*smp + c, smp] = 1 for channel c in (sigma, r, g, b)."""
+    sels = []
+    for c in range(4):
+        p = np.zeros((4 * s, s), np.float32)
+        p[4 * np.arange(s) + c, np.arange(s)] = 1.0
+        sels.append(p)
+    return sels
+
+
+def fused_volume_render_interleaved(
+    raw: jnp.ndarray,        # [N, 4*S]: r-major interleaved (sigma,r,g,b)
+    z_vals: jnp.ndarray,     # [N, S]
+    rays_d: jnp.ndarray,     # [N, 3]
+    cfg: RenderConfig = RenderConfig(),
+    block: int = 1024,
+    interpret: bool = False,
+) -> RenderOutputs:
+    """``fused_volume_render`` consuming the ray-blocked render kernels'
+    raw interleaved output directly (see ``_composite_kernel_interleaved``).
+    Inference-only (the render paths); training keeps the [N, S, 3]
+    contract through ``fused_volume_render``'s VJP."""
+    n, s4 = raw.shape
+    s = s4 // 4
+    n_pad = _round_up(max(n, block), block)
+
+    def padr(x, fill=0.0):
+        if x.shape[0] == n_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n, *x.shape[1:]), fill, x.dtype)], axis=0
+        )
+
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    tri = jnp.asarray(np.triu(np.ones((s, s), np.float32), 1))
+    p_sig, p_r, p_g, p_b = (jnp.asarray(p) for p in _channel_selectors(s))
+
+    stream = lambda i: (i, 0)
+    resident = lambda i: (0, 0)
+    sel_spec = pl.BlockSpec((4 * s, s), resident, memory_space=pltpu.VMEM)
+    out, w = pl.pallas_call(
+        functools.partial(
+            _composite_kernel_interleaved,
+            sentinel=cfg.dist_sentinel,
+            eps=cfg.transmittance_eps,
+            n_samples=s,
+        ),
+        grid=(n_pad // block,),
+        in_specs=[
+            pl.BlockSpec((block, 4 * s), stream, memory_space=pltpu.VMEM),
+            sel_spec, sel_spec, sel_spec, sel_spec,
+            pl.BlockSpec((block, s), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s), resident, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, 8), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, s), stream, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(padr(raw), p_sig, p_r, p_g, p_b, padr(z_vals, 1.0), padr(dnorm, 1.0),
+      tri)
+    out, w = out[:n], w[:n]
+    rgb_map = out[:, 0:3]
+    depth = out[:, 3]
+    acc = out[:, 4]
+    if cfg.white_background:
+        rgb_map = rgb_map + (1.0 - acc[:, None])
+    return RenderOutputs(rgb_map, depth, acc, w)
 
 
 def _pallas_composite(

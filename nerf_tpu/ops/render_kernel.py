@@ -70,7 +70,7 @@ def _weights_for(params, cfg: ModelConfig, dtype):
     )
 
 
-def _plane_writer(sel, n_samples: int):
+def _plane_writer(n_rays: int, n_samples: int):
     """Build a writer that scatters per-sample [B, 1] channel columns into
     per-ray [R_b, S] planes entirely on the MXU — the planar layout the
     fused compositor consumes (four separate [R, S] inputs), so the
@@ -80,9 +80,12 @@ def _plane_writer(sel, n_samples: int):
     ``plane = selT @ (c * onehot_s)`` where ``selT [R_b, B]`` is the
     transposed one-hot ray selector and ``onehot_s [B, S]`` places row
     ``n = r*S + s`` in column ``s`` — every output element is one exact
-    ``1.0 * c[n]`` product, so the result is bit-identical to a gather."""
-    B, R_b = sel.shape
-    S = n_samples
+    ``1.0 * c[n]`` product, so the result is bit-identical to a gather.
+    CAUTION: this path hangs Mosaic lowering on real TPU (round-3 regression,
+    BENCH_r03 rc=124) — it is opt-in until that is fixed; scripts/tpu_smoke.py
+    is the gate that catches it."""
+    R_b, S = n_rays, n_samples
+    B = R_b * S
     rowT = jax.lax.broadcasted_iota(jnp.int32, (R_b, B), 0)
     colT = jax.lax.broadcasted_iota(jnp.int32, (R_b, B), 1)
     selT = (colT // S == rowT).astype(jnp.float32)
@@ -97,8 +100,8 @@ def _plane_writer(sel, n_samples: int):
     return to_plane
 
 
-def _write_planar(out_refs, sigma, rgb, sel, n_samples: int):
-    to_plane = _plane_writer(sel, n_samples)
+def _write_planar(out_refs, sigma, rgb, n_rays: int, n_samples: int):
+    to_plane = _plane_writer(n_rays, n_samples)
     sig_ref, r_ref, g_ref, b_ref = out_refs
     sig_ref[:] = to_plane(sigma)
     r_ref[:] = to_plane(rgb[:, 0:1])
@@ -157,7 +160,7 @@ def _ray_kernel(
             Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
             normalize_dirs=normalize_dirs, cdir=cdir, split_out=True,
         )
-        _write_planar(rest[-4:], sigma, rgb, sel, S)
+        _write_planar(rest[-4:], sigma, rgb, R_b, S)
         return
 
     out_ref[:] = _nerf_math(
@@ -179,15 +182,18 @@ def fused_render_samples(
     dtype: Any = jnp.bfloat16,
     interpret: bool = False,
     planar: bool = False,
+    raw: bool = False,
 ) -> Tuple[jnp.ndarray, Any, jnp.ndarray]:
     """Evaluate the network at uniform depths along every ray, generating the
     samples inside the kernel. Returns ``(sigma [R, S], rgb [R, S, 3],
     z_vals [R, S])``. Inference path (no VJP); requires S <= block_samples.
 
+    ``raw=True`` returns ``(raw [R, 4S], z_vals)`` — the kernel's interleaved
+    output as a free row-major view, for ``fused_volume_render_interleaved``
+    (de-interleave happens in the compositor's VMEM; no strided HBM copy).
     ``planar=True`` returns rgb as a tuple of three ``[R, S]`` planes written
-    directly by the kernel — the layout the fused compositor consumes — so
-    the channel de-interleave never runs as a strided HBM copy (see
-    ``_plane_writer``)."""
+    directly by the kernel; its plane writer hangs Mosaic lowering on real
+    TPU (round-3 regression) — kept opt-in for investigation only."""
     S = n_samples
     assert S >= 2, "need at least 2 samples for the linspace"
     block_rays = max(1, block_samples // S)
@@ -269,6 +275,14 @@ def fused_render_samples(
     if planar:
         sig, rr, gg, bb = out
         return sig[:r], (rr[:r], gg[:r], bb[:r]), z_vals
+    if raw:
+        # [r_pad*S, 4] -> [r, 4S]: row-major contiguous both ways (r-major
+        # layout: element (r*S+s, c) lands at row r, col 4s+c), so this view
+        # costs nothing. The interleaved compositor de-interleaves in VMEM
+        # (composite_kernel._composite_kernel_interleaved) — the strided
+        # channel-slice HBM copy below (copy.20, 21 ms = 6% of the headline
+        # frame) never runs on this path.
+        return out.reshape(r_pad, S * 4)[:r], z_vals
     out = out.reshape(r_pad, S, 4)[:r]             # r-major: direct reshape
     sigma = out[..., 0]
     rgb = out[..., 1:4]
@@ -330,7 +344,7 @@ def _ray_z_kernel(
             Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
             normalize_dirs=normalize_dirs, cdir=cdir, split_out=True,
         )
-        _write_planar(rest[-4:], sigma, rgb, sel, S)
+        _write_planar(rest[-4:], sigma, rgb, R_b, S)
         return
 
     out_ref[:] = _nerf_math(
@@ -350,6 +364,7 @@ def _zvals_forward(
     dtype: Any,
     interpret: bool,
     planar: bool = False,
+    raw: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
     r, S = z_vals.shape
     block_rays = max(8, (block_samples // S) // 8 * 8)
@@ -428,6 +443,8 @@ def _zvals_forward(
     if planar:
         sig, rr, gg, bb = out
         return sig[:r], (rr[:r], gg[:r], bb[:r])
+    if raw:
+        return out.reshape(r_pad, S * 4)[:r]       # free view; see samples
     out = out.reshape(r_pad, S, 4)[:r]             # r-major: direct reshape
     return out[..., 0], out[..., 1:4]
 
@@ -494,8 +511,30 @@ def fused_render_zvals_planar(
     as three ``[R, S]`` planes written by the kernel (see ``_plane_writer``)
     — the fused compositor's native input layout, skipping the interleaved
     output's channel de-interleave copy. The VJP-carrying
-    ``fused_render_zvals`` keeps the ``[R, S, 3]`` contract for training."""
+    ``fused_render_zvals`` keeps the ``[R, S, 3]`` contract for training.
+    CAUTION: hangs Mosaic lowering on real TPU (see ``_plane_writer``);
+    use ``fused_render_zvals_raw`` + the interleaved compositor instead."""
     return _zvals_forward(
         params, rays_o, rays_d, z_vals, cfg, block_samples, dtype, interpret,
         planar=True,
+    )
+
+
+def fused_render_zvals_raw(
+    params: NeRFParams,
+    rays_o: jnp.ndarray,      # [R, 3]
+    rays_d: jnp.ndarray,      # [R, 3]
+    z_vals: jnp.ndarray,      # [R, S]
+    cfg: ModelConfig,
+    block_samples: int = 2048,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inference-only variant of ``fused_render_zvals`` returning the
+    kernel's interleaved output as a free ``[R, 4S]`` view, for
+    ``fused_volume_render_interleaved`` (channel de-interleave happens in
+    the compositor's VMEM instead of as a strided HBM copy)."""
+    return _zvals_forward(
+        params, rays_o, rays_d, z_vals, cfg, block_samples, dtype, interpret,
+        raw=True,
     )

@@ -52,9 +52,11 @@ class SharedModel:
     the reference's ``SharedNeRFModel`` (``base_renderer.py:16-87``) without
     process-global state.
 
-    Loading order: our ``.npz`` checkpoint, the bundled bmild ``.npy``, or —
-    matching the reference's fallback (``base_renderer.py:62-76``) — randomly
-    initialized weights when the path is missing (prints a warning).
+    Loading order: our ``.npz`` checkpoint, a reference-format torch ``.pth``
+    (so a reference-trained ``final_model.pth`` benchmarks here directly),
+    the bundled bmild ``.npy``, or — matching the reference's fallback
+    (``base_renderer.py:62-76``) — randomly initialized weights when the
+    path is missing (prints a warning).
     """
 
     def __init__(self, cfg: Config):
@@ -63,7 +65,25 @@ class SharedModel:
 
     def load(self, checkpoint_path: Optional[str]) -> "SharedModel":
         cfg = self.cfg
-        if checkpoint_path and checkpoint_path.endswith(".npy"):
+        if checkpoint_path and checkpoint_path.endswith((".pth", ".pt")):
+            # reference torch checkpoint: {'coarse_model': sd, 'fine_model':
+            # sd, ...} (written by the reference trainer.save_checkpoint,
+            # ``trainer.py:374-388``; consumed by its benchmark suite,
+            # ``base_renderer.py:28-78``) and our own cmd_export output.
+            # torch-optional: only imported when a .pth is actually given.
+            import torch
+
+            from nerf_tpu.models.nerf import params_from_torch_state_dict
+
+            ckpt = torch.load(checkpoint_path, map_location="cpu",
+                              weights_only=False)
+            self.params = {
+                "coarse": params_from_torch_state_dict(
+                    ckpt["coarse_model"], cfg.model),
+                "fine": params_from_torch_state_dict(
+                    ckpt["fine_model"], cfg.model),
+            }
+        elif checkpoint_path and checkpoint_path.endswith(".npy"):
             fine = load_bmild_weights(checkpoint_path)
             coarse_path = checkpoint_path.replace("model_fine_", "model_")
             coarse = (
@@ -142,16 +162,39 @@ class Engine:
     def sample_eval_fn(self):
         """Optional fully-fused sample-generation + evaluation for the
         uniform benchmark path: ``fn(params, ro, rd, near, far, spp) ->
-        (sigma [N,S], rgb [N,S,3], z [N,S])`` (None -> XLA sampling + the
-        engine's apply_fn). Only consulted when no z_sampler overrides the
-        depth placement."""
+        (sigma [N,S], rgb, z [N,S])`` (None -> XLA sampling + the engine's
+        apply_fn). ``rgb`` is ``[N,S,3]``, or — from a planar-output Pallas
+        override — a 3-tuple of ``[N,S]`` channel planes; both forms are
+        consumed by ``fused_volume_render``/``volume_render``. Only
+        consulted when no z_sampler overrides the depth placement."""
         return None
 
     def zvals_eval_fn(self):
         """Optional fused evaluation at arbitrary per-ray depths:
-        ``fn(params, ro, rd, z [N,S]) -> (sigma [N,S], rgb [N,S,3])``
-        (None -> XLA point materialization + the engine's apply_fn). Used by
-        the hierarchical fine pass and grid-guided (accel) sampling."""
+        ``fn(params, ro, rd, z [N,S]) -> (sigma [N,S], rgb)`` with ``rgb``
+        either ``[N,S,3]`` or a 3-tuple of ``[N,S]`` planes (see
+        ``sample_eval_fn``); None -> XLA point materialization + the
+        engine's apply_fn. Used by the hierarchical fine pass and
+        grid-guided (accel) sampling."""
+        return None
+
+    def raw_sample_eval_fn(self):
+        """Optional raw-interleaved variant of ``sample_eval_fn``:
+        ``fn(params, ro, rd, near, far, spp) -> (raw [N, 4S], z [N, S])``
+        where ``raw`` is the ray-blocked kernel's interleaved output viewed
+        row-major. Paired with ``raw_composite_fn``; preferred over the
+        sliced forms when both are provided (the channel de-interleave then
+        happens inside the compositor's VMEM — no strided HBM copy)."""
+        return None
+
+    def raw_zvals_eval_fn(self):
+        """Optional raw-interleaved variant of ``zvals_eval_fn``:
+        ``fn(params, ro, rd, z [N,S]) -> raw [N, 4S]``."""
+        return None
+
+    def raw_composite_fn(self):
+        """Optional compositor consuming the raw interleaved layout:
+        ``fn(raw [N, 4S], z [N,S], rd, rcfg) -> RenderOutputs``."""
         return None
 
     @classmethod
@@ -206,6 +249,10 @@ class Engine:
         z_sampler = self.z_sampler()
         sample_eval_fn = self.sample_eval_fn()
         zvals_eval_fn = self.zvals_eval_fn()
+        raw_sample_eval_fn = self.raw_sample_eval_fn()
+        raw_zvals_eval_fn = self.raw_zvals_eval_fn()
+        raw_composite_fn = self.raw_composite_fn()
+        use_raw = raw_composite_fn is not None and raw_zvals_eval_fn is not None
         dt = jnp.dtype(cfg.train.compute_dtype)
 
         if mode == "benchmark":
@@ -249,7 +296,17 @@ class Engine:
                 # fine-only uniform sampling (reference benchmark path)
                 if z_sampler is not None:
                     z = z_sampler(ro, rd, spp, rcfg)
+                    if use_raw:
+                        raw = raw_zvals_eval_fn(params["fine"], ro, rd, z)
+                        out = raw_composite_fn(raw, z, rd, rcfg)
+                        return out.rgb, out.depth
                     sigma, rgb = eval_at_z("fine", ro, rd, z)
+                elif use_raw and raw_sample_eval_fn is not None:
+                    raw, z = raw_sample_eval_fn(
+                        params["fine"], ro, rd, rcfg.near, rcfg.far, spp
+                    )
+                    out = raw_composite_fn(raw, z, rd, rcfg)
+                    return out.rgb, out.depth
                 elif sample_eval_fn is not None:
                     sigma, rgb, z = sample_eval_fn(
                         params["fine"], ro, rd, rcfg.near, rcfg.far, spp
@@ -263,6 +320,26 @@ class Engine:
                                           cfg.model, compute_dtype=dt)
                 out = composite(sigma, rgb, z, rd)
                 return out.rgb, out.depth
+            if (rcfg.use_importance and use_raw
+                    and raw_sample_eval_fn is not None):
+                # fully fused hierarchical path, raw interleaved layout end
+                # to end: positions AND per-channel planes never exist in
+                # HBM; the compositor de-interleaves in VMEM
+                raw_c, z_c = raw_sample_eval_fn(
+                    params["coarse"], ro, rd, rcfg.near, rcfg.far,
+                    rcfg.n_coarse,
+                )
+                out_c = raw_composite_fn(raw_c, z_c, rd, rcfg)
+                z_new = sample_pdf(
+                    z_c, jax.lax.stop_gradient(out_c.weights),
+                    rcfg.n_fine, deterministic=True,
+                )
+                z_f = jnp.sort(
+                    jnp.concatenate([z_c, z_new], axis=-1), axis=-1
+                )
+                raw_f = raw_zvals_eval_fn(params["fine"], ro, rd, z_f)
+                out_f = raw_composite_fn(raw_f, z_f, rd, rcfg)
+                return out_f.rgb, out_f.depth
             if (rcfg.use_importance and sample_eval_fn is not None
                     and zvals_eval_fn is not None):
                 # fully fused hierarchical path: ray-blocked coarse pass,
@@ -418,6 +495,10 @@ class PallasEngine(Engine):
         self._interpret = interpret
         # Opt-in planar output layout; see sample_eval_fn for why it is off.
         self._planar = planar
+        # Raw interleaved pipeline (render kernel [N,4S] view -> compositor
+        # de-interleaves in VMEM): the TPU-compiling replacement for planar.
+        # scripts/tpu_smoke.py gates it on real hardware.
+        self._raw_pipeline = not planar
         # MXU-schedule knob: rows per ray-blocked kernel grid step. Wider
         # blocks trade VMEM for matmul shape/pipeline depth (docs/PERF.md).
         self._block_samples = block_samples
@@ -487,6 +568,53 @@ class PallasEngine(Engine):
                 return fused_render_zvals(params, ro, rd, z, mcfg,
                                           block_samples,
                                           interpret=interpret)
+
+        return fn
+
+    def raw_sample_eval_fn(self):
+        if not self._raw_pipeline:
+            return None
+        from nerf_tpu.ops.render_kernel import fused_render_samples
+
+        interpret = self._interpret
+        mcfg = self.cfg.model
+        block_samples = self._block_samples
+
+        def fn(params, ro, rd, near, far, spp):
+            return fused_render_samples(
+                params, ro, rd, near, far, spp, mcfg,
+                block_samples=block_samples, interpret=interpret, raw=True,
+            )
+
+        return fn
+
+    def raw_zvals_eval_fn(self):
+        if not self._raw_pipeline:
+            return None
+        from nerf_tpu.ops.render_kernel import fused_render_zvals_raw
+
+        interpret = self._interpret
+        mcfg = self.cfg.model
+        block_samples = self._block_samples
+
+        def fn(params, ro, rd, z):
+            return fused_render_zvals_raw(params, ro, rd, z, mcfg,
+                                          block_samples, interpret=interpret)
+
+        return fn
+
+    def raw_composite_fn(self):
+        if not self._raw_pipeline:
+            return None
+        from nerf_tpu.ops.composite_kernel import (
+            fused_volume_render_interleaved,
+        )
+
+        interpret = self._interpret
+
+        def fn(raw, z, rd, rcfg):
+            return fused_volume_render_interleaved(raw, z, rd, rcfg,
+                                                   interpret=interpret)
 
         return fn
 

@@ -86,3 +86,40 @@ def test_non_divisible_ray_count(data):
     assert out.rgb.shape == (37, 3)
     np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_interleaved_compositor_matches_jnp(data):
+    """fused_volume_render_interleaved consuming the render kernels' raw
+    r-major [N, 4S] layout must match the jnp compositor exactly (the
+    selector-matmul de-interleave is one exact 1.0*x product per element)."""
+    from nerf_tpu.ops.composite_kernel import fused_volume_render_interleaved
+
+    sigma, rgb, z, rays_d = data
+    n, s = sigma.shape
+    # build the interleaved view the kernels emit: row r = (sig, r, g, b)
+    # per sample, s-major within the row
+    raw = jnp.concatenate([sigma[..., None], rgb], axis=-1).reshape(n, 4 * s)
+    ref = volume_render(sigma, rgb, z, rays_d)
+    out = fused_volume_render_interleaved(raw, z, rays_d, RenderConfig(),
+                                          block=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.weights),
+                               np.asarray(ref.weights),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_interleaved_white_background(data):
+    from nerf_tpu.ops.composite_kernel import fused_volume_render_interleaved
+
+    sigma, rgb, z, rays_d = data
+    n, s = sigma.shape
+    raw = jnp.concatenate([sigma[..., None], rgb], axis=-1).reshape(n, 4 * s)
+    cfg = RenderConfig(white_background=True)
+    ref = volume_render(sigma, rgb, z, rays_d, cfg)
+    out = fused_volume_render_interleaved(raw, z, rays_d, cfg,
+                                          block=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                               rtol=1e-4, atol=1e-5)

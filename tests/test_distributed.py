@@ -51,3 +51,52 @@ def test_two_process_distributed_step():
     assert len(losses) == 2
     # both processes computed the same global step
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+
+def test_two_process_cli_train(tmp_path):
+    """The same 2-process bring-up driven entirely through the public CLI
+    (``nerf-tpu train --coordinator_address ... --num_processes 2
+    --process_id N``): both hosts train on one global 8-device mesh, agree
+    on the loss, and process 0 writes the checkpoint."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def env_for() -> dict:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["NERF_TPU_PLATFORM"] = "cpu"
+        env["PYTHONPATH"] = (
+            repo + os.pathsep + env["PYTHONPATH"]
+            if env.get("PYTHONPATH") else repo
+        )
+        return env
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "nerf_tpu.cli.main", "train",
+             "--data_dir", str(tmp_path / "nonexistent"),  # procedural scene
+             "--image_size", "16", "--streaming_steps", "4",
+             "--n_rays", "64",
+             "--checkpoint_dir", ckpt_dir,
+             "--output_dir", str(tmp_path / "out"),
+             "--coordinator_address", coord,
+             "--num_processes", "2", "--process_id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env_for(), cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), (
+        f"CLI worker failed:\n{outs[0][-1500:]}\n---\n{outs[1][-1500:]}"
+    )
+    losses = {}
+    for out in outs:
+        m = re.search(r"PROC (\d+) FINAL LOSS ([0-9.]+)", out)
+        assert m, f"missing final loss:\n{out[-2000:]}"
+        losses[int(m.group(1))] = float(m.group(2))
+    assert len(losses) == 2
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
+    assert os.path.exists(os.path.join(ckpt_dir, "final_model.npz"))

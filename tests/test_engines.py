@@ -184,3 +184,53 @@ def test_gt_quality_report(tmp_path):
     assert cells["32"]["psnr_db_vs_gt"] > 60.0
     assert cells["32"]["psnr_db_vs_gt"] > cells["8"]["psnr_db_vs_gt"]
     assert all(c["rays_per_second"] > 0 for c in cells.values())
+
+
+def test_pth_checkpoint_ingestion(tmp_path):
+    """A reference-format torch checkpoint ({'coarse_model': state_dict,
+    'fine_model': state_dict}, the dict the reference trainer writes at
+    ``trainer.py:374-388`` and its benchmark consumes via ``torch.load`` at
+    ``base_renderer.py:42``) loads directly into SharedModel and renders —
+    the 'same trained weights, any ecosystem' loop, inbound direction
+    (cmd_export is the outbound one)."""
+    torch = pytest.importorskip("torch")
+
+    from nerf_tpu.models.nerf import (
+        init_nerf_params,
+        params_to_torch_state_dict,
+    )
+
+    cfg = Config()
+    kc, kf = jax.random.split(jax.random.PRNGKey(7))
+    truth = {
+        "coarse": init_nerf_params(kc, cfg.model),
+        "fine": init_nerf_params(kf, cfg.model),
+    }
+    path = tmp_path / "final_model.pth"
+    torch.save(
+        {
+            "coarse_model": {
+                k: torch.from_numpy(np.asarray(v).copy())
+                for k, v in params_to_torch_state_dict(truth["coarse"]).items()
+            },
+            "fine_model": {
+                k: torch.from_numpy(np.asarray(v).copy())
+                for k, v in params_to_torch_state_dict(truth["fine"]).items()
+            },
+            "optimizer": {},  # extra reference keys must be ignored
+            "train_losses": [1.0, 0.5],
+        },
+        str(path),
+    )
+
+    shared = SharedModel(cfg).load(str(path))
+    for net in ("coarse", "fine"):
+        for a, b in zip(jax.tree.leaves(truth[net]),
+                        jax.tree.leaves(shared.params[net])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    eng = XLAEngine(shared, chunk_rays=256)
+    out = eng.render_image(orbit_poses(1, radius=4.0)[0], (16, 12), 8,
+                           focal=12.0, monitor=False)
+    assert np.isfinite(out.rgb).all()
