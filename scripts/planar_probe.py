@@ -101,10 +101,18 @@ def _probe(variant: str, R_b: int, S: int, n_blocks: int) -> int:
                 [x[:, c].reshape(R_b, S) for c in range(4)], axis=1
             )
 
+    elif variant == "fold":
+        # the [B, 4] -> [R_b, 4S] row fold (r-major: row r = interleaved
+        # (sig,r,g,b) per sample). If this lowers, the render kernel can emit
+        # the compositor's input shape directly and the XLA-level reshape
+        # (tiled-layout copy, 21 ms/frame at 800x600@64) disappears.
+        def kernel(x_ref, o_ref):
+            o_ref[:] = x_ref[:].reshape(R_b, 4 * S)
+
     else:
         raise ValueError(variant)
 
-    single_out = variant.endswith("_cat")
+    single_out = variant.endswith("_cat") or variant == "fold"
     if single_out:
         out_specs = pl.BlockSpec((R_b, 4 * S), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -136,6 +144,9 @@ def _probe(variant: str, R_b: int, S: int, n_blocks: int) -> int:
         ok = bool(np.allclose(np.asarray(first), want, atol=1e-6))
     elif variant.endswith("_cat"):
         ok = bool(np.allclose(np.asarray(first)[:, :S], want, atol=1e-6))
+    elif variant == "fold":
+        ok = bool(np.array_equal(np.asarray(first),
+                                 np.asarray(raw).reshape(R, 4 * S)))
     print(json.dumps({"variant": variant, "compile_run_s": round(dt, 1),
                       "correct": ok, "checksum": got}), flush=True)
     return 0 if ok else 3
