@@ -216,7 +216,12 @@ def fused_volume_render_interleaved(
             jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            # the hierarchical fine pass runs S = n_coarse + n_fine = 192:
+            # the [block, 4S] input + selector layouts then need ~21 MB of
+            # scoped VMEM, over the 16 MB default (caught by the round-4
+            # tpu_smoke run — fast AOT error, not a hang); v5e has 128 MB
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(padr(raw), p_sig, p_r, p_g, p_b, padr(z_vals, 1.0), padr(dnorm, 1.0),

@@ -234,3 +234,18 @@ def test_pth_checkpoint_ingestion(tmp_path):
     out = eng.render_image(orbit_poses(1, radius=4.0)[0], (16, 12), 8,
                            focal=12.0, monitor=False)
     assert np.isfinite(out.rgb).all()
+
+
+@pytest.mark.parametrize("engine_name", ["pallas", "compressed", "accel"])
+def test_hierarchical_mode_kernel_engines(shared_random, engine_name):
+    """The fused hierarchical path (raw coarse pass -> sample_pdf -> raw
+    fine pass -> interleaved compositor) for every Pallas-family engine —
+    the round-4 smoke run caught this path failing on TPU while only the
+    XLA engine's hierarchical mode was under test."""
+    e = ENGINE_CLASSES[engine_name](shared_random, chunk_rays=512)
+    res = e.render_image(
+        orbit_poses(2)[0], (16, 12), samples_per_ray=8, mode="hierarchical",
+        monitor=False,
+    )
+    assert res.rgb.shape == (12, 16, 3)
+    assert np.isfinite(res.rgb).all()
