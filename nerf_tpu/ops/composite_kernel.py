@@ -105,11 +105,13 @@ def _composite_kernel_interleaved(
     headline), replacing the round-3 planar-output attempt whose in-kernel
     iota scatter hung Mosaic lowering (BENCH_r03; scripts/planar_probe.py
     documents the probes)."""
-    raw = raw_ref[:]                                    # [R, 4S]
+    raw = raw_ref[:].astype(jnp.float32)                # [R, 4S]
     # HIGHEST precision is required for exactness: TPU DEFAULT f32 matmul is
     # a single bf16 pass, which would round every sigma/rgb value to bf16 on
     # the way through the selector (caught by the TPU allclose probe; the
-    # multi-pass f32 algorithm is exact for a one-hot operand)
+    # multi-pass f32 algorithm is exact for a one-hot operand). A bf16 raw
+    # input (the halved-intermediate mode) is cast up first; its values are
+    # bf16-exact so the selectors stay exact gathers either way.
     hi = jax.lax.Precision.HIGHEST
     sigma = jnp.dot(raw, p_sig_ref[:], precision=hi,
                     preferred_element_type=jnp.float32)

@@ -26,6 +26,7 @@ the fused compositor.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Tuple
 
 import jax
@@ -109,16 +110,89 @@ def _write_planar(out_refs, sigma, rgb, n_rays: int, n_samples: int):
     b_ref[:] = to_plane(rgb[:, 2:3])
 
 
+def _segmented_cumsum_excl(x: jnp.ndarray, seg: int) -> jnp.ndarray:
+    """Exclusive prefix sum of ``x [B, C]`` within contiguous length-``seg``
+    segments along axis 0 (``B % seg == 0``), as a Hillis-Steele doubling
+    scan of sublane rolls — ceil(log2(seg)) exact f32 VPU adds, no matmuls,
+    no reshapes (the two in-kernel relayout families Mosaic rejects or
+    compiles pathologically: ``results/perf/planar_probe.json`` ``fold`` /
+    ``matmul`` variants). ``pltpu.roll(x, k, axis=0)[n] = x[n - k]``; rows
+    with ``n % seg < k`` would read across a segment (or wrap) and are
+    masked off, which is exactly the segmented-scan boundary condition."""
+    B = x.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % seg
+    acc = x
+    k = 1
+    while k < seg:
+        acc = acc + jnp.where(sub >= k, pltpu.roll(acc, shift=k, axis=0),
+                              jnp.float32(0.0))
+        k *= 2
+    return acc - x
+
+
+def _composite_flat(
+    sigma: jnp.ndarray,       # [B, 1]
+    rgb: jnp.ndarray,         # [B, 3]
+    z: jnp.ndarray,           # [B, 1] per-sample depth (for the depth map)
+    dists: jnp.ndarray,       # [B, 1] adjacent-diff distances * ||d||
+    n_rays: int,
+    n_samples: int,
+    eps: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Volume rendering entirely in the render kernel's flat r-major layout
+    (row ``n = r * S + s``): the TPU-native in-kernel form of
+    ``composite_kernel._composite_kernel`` (same math, reference
+    ``rendering.py:116-143``). The per-ray sequential dependence — the
+    exclusive transmittance prefix — runs as a segmented roll scan in exact
+    f32, and the per-ray reductions collapse through one one-hot
+    ``selT [R_b, B] @ fields [B, 8]`` HIGHEST matmul. Returns
+    ``(out [R_b, 8] = (r, g, b, depth, acc, 0, 0, 0), weights [B, 1])``.
+
+    MEASURED NEGATIVE RESULT for the benchmark path (round 5,
+    ``results/perf/fuse_probe.json``): this whole-pipeline fusion is exact
+    (5.5e-6 vs the two-kernel pipeline on TPU) but 12% slower — every op
+    here runs on ``[B, 1]``-shaped values, using 1 of 128 VPU lanes, so the
+    ~30 narrow ops cost ~77 ms/frame at 800x600@64 where the two-kernel
+    boundary (21 ms relayout + planar compositor working lane-dense
+    ``[block, S]`` tiles) costs ~33 ms. Mosaic rejects every in-kernel path
+    to a lane-dense layout (reshape: internal error; strided slice:
+    vector_extract_strided_slice crash; selector-matmul scatter: measured
+    slower still). Kept as the opt-in ``fuse_composite`` engine mode — it
+    wins on executable count (one pallas_call, no inter-kernel HBM traffic),
+    which matters under memory pressure, just not on this frame time."""
+    R_b, S = n_rays, n_samples
+    B = R_b * S
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    # max(), not `1 - alpha + eps`: reassociation-proof (see composite_kernel)
+    log_t = jnp.log(jnp.maximum(1.0 - alpha, jnp.float32(eps)))
+    t_excl = jnp.exp(_segmented_cumsum_excl(log_t, S))
+    w = alpha * t_excl                                  # [B, 1]
+
+    rowT = jax.lax.broadcasted_iota(jnp.int32, (R_b, B), 0)
+    colT = jax.lax.broadcasted_iota(jnp.int32, (R_b, B), 1)
+    selT = (colT // S == rowT).astype(jnp.float32)      # [R_b, B] ray gather
+    pad = jnp.zeros_like(w)
+    fields = jnp.concatenate([w * rgb, w * z, w, pad, pad, pad], axis=1)
+    # HIGHEST: default f32 dot is one bf16 pass which would round every
+    # weighted sample on the way into the per-ray sum; [R_b, B] x [B, 8] is
+    # ~0.1%% of the block's MXU work
+    out = jnp.dot(selT, fields, precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)   # [R_b, 8]
+    return out, w
+
+
 def _ray_kernel(
     o_ref, d_ref, *rest,
     w_dict_fn, variant: str, skip_pos: int, Lp: int, Ld: int,
     relu_sigma: bool, dtype,
     normalize_dirs: bool, n_samples: int, near: float, far: float,
     planar: bool = False,
+    composited: bool = False, with_weights: bool = False,
+    sentinel: float = 1e10, eps: float = 1e-10,
 ):
-    n_out = 4 if planar else 1
+    n_out = 4 if planar else (2 if (composited and with_weights) else 1)
     w = w_dict_fn(rest[:-n_out])
-    out_ref = rest[-1]
+    out_ref = rest[-n_out]
 
     o = o_ref[:]                                   # [R_b, 3]
     d = d_ref[:]
@@ -163,11 +237,34 @@ def _ray_kernel(
         _write_planar(rest[-4:], sigma, rgb, R_b, S)
         return
 
-    out_ref[:] = _nerf_math(
+    if composited:
+        sigma, rgb = _nerf_math(
+            pos, None, w, variant=variant, skip_pos=skip_pos,
+            Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+            normalize_dirs=normalize_dirs, cdir=cdir, split_out=True,
+        )
+        # uniform depths: every adjacent diff is the same constant, so dists
+        # never touches the (bf16-rounded) expanded z — exact f32 throughout
+        dz = (far - near) / (S - 1)
+        dnorm_ray = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [R_b,1]
+        # expand per-ray ||d|| flat at HIGHEST so dists stay exact
+        # ([B, R_b] x [R_b, 1]: negligible)
+        dnorm = jnp.dot(sel, dnorm_ray, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)          # [B, 1]
+        is_last = (s_idx == S - 1)
+        dists = jnp.where(is_last, jnp.float32(sentinel), dz) * dnorm
+        out, wts = _composite_flat(sigma, rgb, z, dists, R_b, S, eps)
+        out_ref[:] = out
+        if with_weights:
+            rest[-1][:] = wts
+        return
+
+    res = _nerf_math(
         pos, None, w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
         normalize_dirs=normalize_dirs, cdir=cdir,
     )
+    out_ref[:] = res.astype(out_ref.dtype)
 
 
 def fused_render_samples(
@@ -183,6 +280,11 @@ def fused_render_samples(
     interpret: bool = False,
     planar: bool = False,
     raw: bool = False,
+    composited: bool = False,
+    with_weights: bool = False,
+    sentinel: float = 1e10,
+    eps: float = 1e-10,
+    raw_dtype: Any = jnp.float32,
 ) -> Tuple[jnp.ndarray, Any, jnp.ndarray]:
     """Evaluate the network at uniform depths along every ray, generating the
     samples inside the kernel. Returns ``(sigma [R, S], rgb [R, S, 3],
@@ -193,7 +295,15 @@ def fused_render_samples(
     (de-interleave happens in the compositor's VMEM; no strided HBM copy).
     ``planar=True`` returns rgb as a tuple of three ``[R, S]`` planes written
     directly by the kernel; its plane writer hangs Mosaic lowering on real
-    TPU (round-3 regression) — kept opt-in for investigation only."""
+    TPU (round-3 regression) — kept opt-in for investigation only.
+    ``composited=True`` runs volume rendering inside the kernel too
+    (``_composite_flat``; reference ``base_renderer.py:190-221`` fuses
+    compositing into each backend's render the same way) and returns
+    ``(out [R, 8] = (r, g, b, depth, acc, 0, 0, 0), z_vals)`` — the whole
+    per-sample field (4S floats/ray) never reaches HBM; with
+    ``with_weights=True`` returns ``(out, weights [R, S], z_vals)`` (the
+    hierarchical coarse pass's pdf input). White background is the caller's
+    (needs only ``out[:, 4]``)."""
     S = n_samples
     assert S >= 2, "need at least 2 samples for the linspace"
     block_rays = max(1, block_samples // S)
@@ -236,6 +346,10 @@ def fused_render_samples(
         near=float(near),
         far=float(far),
         planar=planar,
+        composited=composited,
+        with_weights=with_weights,
+        sentinel=float(sentinel),
+        eps=float(eps),
     )
 
     if planar:
@@ -244,10 +358,21 @@ def fused_render_samples(
         plane_shape = jax.ShapeDtypeStruct((r_pad, S), jnp.float32)
         out_specs = (plane_spec,) * 4
         out_shape = (plane_shape,) * 4
+    elif composited:
+        out_specs = pl.BlockSpec((block_rays, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((r_pad, 8), jnp.float32)
+        if with_weights:
+            out_specs = (out_specs,
+                         pl.BlockSpec((block_rays * S, 1), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((r_pad * S, 1), jnp.float32))
     else:
         out_specs = pl.BlockSpec((block_rays * S, 4), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((r_pad * S, 4),
+                                         raw_dtype if raw else jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -275,6 +400,12 @@ def fused_render_samples(
     if planar:
         sig, rr, gg, bb = out
         return sig[:r], (rr[:r], gg[:r], bb[:r]), z_vals
+    if composited:
+        if with_weights:
+            o8, wts = out
+            # [r_pad*S, 1] -> [r_pad, S]: row-major contiguous, free view
+            return o8[:r], wts.reshape(r_pad, S)[:r], z_vals
+        return out[:r], z_vals
     if raw:
         # [r_pad*S, 4] -> [r, 4S]: row-major contiguous both ways (r-major
         # layout: element (r*S+s, c) lands at row r, col 4s+c), so this view
@@ -300,10 +431,12 @@ def _ray_z_kernel(
     relu_sigma: bool, dtype,
     normalize_dirs: bool, n_samples: int,
     planar: bool = False,
+    composited: bool = False, with_weights: bool = False,
+    sentinel: float = 1e10, eps: float = 1e-10,
 ):
-    n_out = 4 if planar else 1
+    n_out = 4 if planar else (2 if (composited and with_weights) else 1)
     w = w_dict_fn(rest[:-n_out])
-    out_ref = rest[-1]
+    out_ref = rest[-n_out]
 
     o = o_ref[:]                                   # [R_b, 3]
     d = d_ref[:]
@@ -328,7 +461,20 @@ def _ray_z_kernel(
     zrow = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
     zcol = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
     onehot_s = (zrow % S == zcol).astype(jnp.float32)
-    z_rep = jnp.dot(sel, z, preferred_element_type=jnp.float32)   # [B, S]
+    if composited:
+        # compositing differences adjacent z's, and the default one-hot
+        # gather rounds z to bf16 (abs ~2^-9 * z) — comparable to the diffs
+        # themselves. Hi/lo-split gather: both default-precision matmuls move
+        # bf16-exact payloads (1.0 * bf16(z) and 1.0 * bf16(z - bf16(z))),
+        # reconstructing z to ~2^-16 relative at 2 bf16 passes instead of
+        # HIGHEST's 6.
+        z_hi = z.astype(jnp.bfloat16).astype(jnp.float32)
+        z_rep = (
+            jnp.dot(sel, z_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(sel, z - z_hi, preferred_element_type=jnp.float32)
+        )
+    else:
+        z_rep = jnp.dot(sel, z, preferred_element_type=jnp.float32)  # [B, S]
     z_col = jnp.sum(z_rep * onehot_s, axis=1, keepdims=True)      # [B, 1]
 
     pos = o_rep + d_rep * z_col
@@ -347,11 +493,34 @@ def _ray_z_kernel(
         _write_planar(rest[-4:], sigma, rgb, R_b, S)
         return
 
-    out_ref[:] = _nerf_math(
+    if composited:
+        sigma, rgb = _nerf_math(
+            pos, None, w, variant=variant, skip_pos=skip_pos,
+            Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
+            normalize_dirs=normalize_dirs, cdir=cdir, split_out=True,
+        )
+        dnorm_ray = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))  # [R_b,1]
+        dnorm = jnp.dot(sel, dnorm_ray, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)          # [B, 1]
+        # adjacent diff along the flat layout: roll(x, B-1)[n] = x[n+1];
+        # the cross-ray row (s == S-1) is masked to the sentinel
+        z_next = pltpu.roll(z_col, shift=B - 1, axis=0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) % S
+        is_last = (sub == S - 1)
+        dists = jnp.where(is_last, jnp.float32(sentinel),
+                          z_next - z_col) * dnorm
+        out, wts = _composite_flat(sigma, rgb, z_col, dists, R_b, S, eps)
+        out_ref[:] = out
+        if with_weights:
+            rest[-1][:] = wts
+        return
+
+    res = _nerf_math(
         pos, None, w, variant=variant, skip_pos=skip_pos,
         Lp=Lp, Ld=Ld, relu_sigma=relu_sigma, dtype=dtype,
         normalize_dirs=normalize_dirs, cdir=cdir,
     )
+    out_ref[:] = res.astype(out_ref.dtype)
 
 
 def _zvals_forward(
@@ -365,6 +534,11 @@ def _zvals_forward(
     interpret: bool,
     planar: bool = False,
     raw: bool = False,
+    composited: bool = False,
+    with_weights: bool = False,
+    sentinel: float = 1e10,
+    eps: float = 1e-10,
+    raw_dtype: Any = jnp.float32,
 ) -> Tuple[jnp.ndarray, Any]:
     r, S = z_vals.shape
     block_rays = max(8, (block_samples // S) // 8 * 8)
@@ -404,6 +578,10 @@ def _zvals_forward(
         normalize_dirs=cfg.normalize_dirs,
         n_samples=S,
         planar=planar,
+        composited=composited,
+        with_weights=with_weights,
+        sentinel=float(sentinel),
+        eps=float(eps),
     )
 
     if planar:
@@ -412,10 +590,21 @@ def _zvals_forward(
         plane_shape = jax.ShapeDtypeStruct((r_pad, S), jnp.float32)
         out_specs = (plane_spec,) * 4
         out_shape = (plane_shape,) * 4
+    elif composited:
+        out_specs = pl.BlockSpec((block_rays, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((r_pad, 8), jnp.float32)
+        if with_weights:
+            out_specs = (out_specs,
+                         pl.BlockSpec((block_rays * S, 1), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((r_pad * S, 1), jnp.float32))
     else:
         out_specs = pl.BlockSpec((block_rays * S, 4), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((r_pad * S, 4), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((r_pad * S, 4),
+                                         raw_dtype if raw else jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -443,6 +632,11 @@ def _zvals_forward(
     if planar:
         sig, rr, gg, bb = out
         return sig[:r], (rr[:r], gg[:r], bb[:r])
+    if composited:
+        if with_weights:
+            o8, wts = out
+            return o8[:r], wts.reshape(r_pad, S)[:r]
+        return out[:r]
     if raw:
         return out.reshape(r_pad, S * 4)[:r]       # free view; see samples
     out = out.reshape(r_pad, S, 4)[:r]             # r-major: direct reshape
@@ -520,6 +714,73 @@ def fused_render_zvals_planar(
     )
 
 
+def composited_to_outputs(out8: jnp.ndarray, weights, rcfg):
+    """``[R, 8]`` composited-kernel output -> ``RenderOutputs``, applying the
+    white-background blend (reference ``rendering.py:140-142``) on the tiny
+    per-ray maps. ``weights`` may be None (benchmark path: nothing downstream
+    reads them; a zero-column placeholder keeps the pytree shape)."""
+    from nerf_tpu.utils.rendering import RenderOutputs
+
+    rgb = out8[:, 0:3]
+    depth = out8[:, 3]
+    acc = out8[:, 4]
+    if rcfg.white_background:
+        rgb = rgb + (1.0 - acc[:, None])
+    if weights is None:
+        weights = jnp.zeros((out8.shape[0], 1), jnp.float32)
+    return RenderOutputs(rgb, depth, acc, weights)
+
+
+def fused_render_samples_composited(
+    params: NeRFParams,
+    rays_o: jnp.ndarray,      # [R, 3]
+    rays_d: jnp.ndarray,      # [R, 3]
+    near: float,
+    far: float,
+    n_samples: int,
+    cfg: ModelConfig,
+    block_samples: int = 2048,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+    with_weights: bool = False,
+    sentinel: float = 1e10,
+    eps: float = 1e-10,
+):
+    """Uniform-depth render with volume rendering fused into the same kernel
+    (see ``fused_render_samples`` ``composited=True``): one pallas_call per
+    chunk, ``[R, 8]`` out — the per-sample field stays in VMEM. Returns
+    ``(out [R, 8], z_vals)`` or ``(out, weights [R, S], z_vals)``."""
+    return fused_render_samples(
+        params, rays_o, rays_d, near, far, n_samples, cfg,
+        block_samples=block_samples, dtype=dtype, interpret=interpret,
+        composited=True, with_weights=with_weights,
+        sentinel=sentinel, eps=eps,
+    )
+
+
+def fused_render_zvals_composited(
+    params: NeRFParams,
+    rays_o: jnp.ndarray,      # [R, 3]
+    rays_d: jnp.ndarray,      # [R, 3]
+    z_vals: jnp.ndarray,      # [R, S]
+    cfg: ModelConfig,
+    block_samples: int = 2048,
+    dtype: Any = jnp.bfloat16,
+    interpret: bool = False,
+    with_weights: bool = False,
+    sentinel: float = 1e10,
+    eps: float = 1e-10,
+):
+    """Arbitrary-depth render with in-kernel volume rendering (inference;
+    the hierarchical fine pass and grid-guided sampling). Returns
+    ``out [R, 8]`` or ``(out, weights [R, S])``."""
+    return _zvals_forward(
+        params, rays_o, rays_d, z_vals, cfg, block_samples, dtype, interpret,
+        composited=True, with_weights=with_weights,
+        sentinel=sentinel, eps=eps,
+    )
+
+
 def fused_render_zvals_raw(
     params: NeRFParams,
     rays_o: jnp.ndarray,      # [R, 3]
@@ -529,12 +790,15 @@ def fused_render_zvals_raw(
     block_samples: int = 2048,
     dtype: Any = jnp.bfloat16,
     interpret: bool = False,
+    raw_dtype: Any = jnp.float32,
 ) -> jnp.ndarray:
     """Inference-only variant of ``fused_render_zvals`` returning the
     kernel's interleaved output as a free ``[R, 4S]`` view, for
     ``fused_volume_render_interleaved`` (channel de-interleave happens in
-    the compositor's VMEM instead of as a strided HBM copy)."""
+    the compositor's VMEM instead of as a strided HBM copy). ``raw_dtype=
+    bfloat16`` halves the intermediate's HBM footprint (see
+    ``fused_render_samples``)."""
     return _zvals_forward(
         params, rays_o, rays_d, z_vals, cfg, block_samples, dtype, interpret,
-        raw=True,
+        raw=True, raw_dtype=raw_dtype,
     )

@@ -75,8 +75,11 @@ class SharedModel:
 
             from nerf_tpu.models.nerf import params_from_torch_state_dict
 
+            # weights_only=True: the reference format is tensors in plain
+            # containers; full unpickling would execute code from an
+            # untrusted checkpoint
             ckpt = torch.load(checkpoint_path, map_location="cpu",
-                              weights_only=False)
+                              weights_only=True)
             self.params = {
                 "coarse": params_from_torch_state_dict(
                     ckpt["coarse_model"], cfg.model),
@@ -197,6 +200,20 @@ class Engine:
         ``fn(raw [N, 4S], z [N,S], rd, rcfg) -> RenderOutputs``."""
         return None
 
+    def composited_sample_eval_fn(self):
+        """Optional fully-fused uniform render WITH in-kernel volume
+        rendering: ``fn(params, ro, rd, rcfg, spp, with_weights) ->
+        (RenderOutputs, z [N, S])`` — one kernel for the whole benchmark
+        path (per-sample fields never reach HBM). Preferred over the raw
+        pipeline when provided."""
+        return None
+
+    def composited_zvals_eval_fn(self):
+        """Optional fused render + in-kernel volume rendering at arbitrary
+        per-ray depths: ``fn(params, ro, rd, z, rcfg, with_weights) ->
+        RenderOutputs`` (hierarchical fine pass, grid-guided sampling)."""
+        return None
+
     @classmethod
     def is_available(cls) -> bool:
         return True
@@ -253,6 +270,8 @@ class Engine:
         raw_zvals_eval_fn = self.raw_zvals_eval_fn()
         raw_composite_fn = self.raw_composite_fn()
         use_raw = raw_composite_fn is not None and raw_zvals_eval_fn is not None
+        comp_sample_fn = self.composited_sample_eval_fn()
+        comp_zvals_fn = self.composited_zvals_eval_fn()
         dt = jnp.dtype(cfg.train.compute_dtype)
 
         if mode == "benchmark":
@@ -296,11 +315,23 @@ class Engine:
                 # fine-only uniform sampling (reference benchmark path)
                 if z_sampler is not None:
                     z = z_sampler(ro, rd, spp, rcfg)
+                    if comp_zvals_fn is not None:
+                        # single kernel: sampling + MLP + volume rendering
+                        out = comp_zvals_fn(params["fine"], ro, rd, z, rcfg,
+                                            False)
+                        return out.rgb, out.depth
                     if use_raw:
                         raw = raw_zvals_eval_fn(params["fine"], ro, rd, z)
                         out = raw_composite_fn(raw, z, rd, rcfg)
                         return out.rgb, out.depth
                     sigma, rgb = eval_at_z("fine", ro, rd, z)
+                elif comp_sample_fn is not None:
+                    # the fully-fused benchmark path: one pallas_call per
+                    # chunk, [N, 8] out — nothing per-sample reaches HBM
+                    out, _ = comp_sample_fn(
+                        params["fine"], ro, rd, rcfg, spp, False
+                    )
+                    return out.rgb, out.depth
                 elif use_raw and raw_sample_eval_fn is not None:
                     raw, z = raw_sample_eval_fn(
                         params["fine"], ro, rd, rcfg.near, rcfg.far, spp
@@ -320,6 +351,25 @@ class Engine:
                                           cfg.model, compute_dtype=dt)
                 out = composite(sigma, rgb, z, rd)
                 return out.rgb, out.depth
+            if (rcfg.use_importance and comp_sample_fn is not None
+                    and comp_zvals_fn is not None):
+                # hierarchical with in-kernel compositing on BOTH passes:
+                # three dispatches total (coarse kernel -> pdf/sort glue ->
+                # fine kernel) instead of the raw pipeline's five
+                # (reference coarse+fine flow, ``trainer.py:294-316``)
+                out_c, z_c = comp_sample_fn(
+                    params["coarse"], ro, rd, rcfg, rcfg.n_coarse, True
+                )
+                z_new = sample_pdf(
+                    z_c, jax.lax.stop_gradient(out_c.weights),
+                    rcfg.n_fine, deterministic=True,
+                )
+                z_f = jnp.sort(
+                    jnp.concatenate([z_c, z_new], axis=-1), axis=-1
+                )
+                out_f = comp_zvals_fn(params["fine"], ro, rd, z_f, rcfg,
+                                      False)
+                return out_f.rgb, out_f.depth
             if (rcfg.use_importance and use_raw
                     and raw_sample_eval_fn is not None):
                 # fully fused hierarchical path, raw interleaved layout end
@@ -485,7 +535,9 @@ class PallasEngine(Engine):
 
     def __init__(self, shared: SharedModel, chunk_rays: int = 16384,
                  block: int = 2048, block_samples: int = 2048,
-                 interpret: Optional[bool] = None, planar: bool = False):
+                 interpret: Optional[bool] = None, planar: bool = False,
+                 fuse_composite: bool = False,
+                 raw_dtype: str = "float32"):
         super().__init__(shared, chunk_rays)
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
@@ -499,9 +551,20 @@ class PallasEngine(Engine):
         # de-interleaves in VMEM): the TPU-compiling replacement for planar.
         # scripts/tpu_smoke.py gates it on real hardware.
         self._raw_pipeline = not planar
+        # Opt-in (round 5): volume rendering fused INTO the render kernel
+        # (flat segmented roll-scan transmittance, [N, 8] out) — one
+        # pallas_call per chunk, no inter-kernel HBM round trip. Exact on
+        # TPU but measured 12% slower than the raw pipeline at 800x600@64
+        # (the flat [B,1] layout uses 1/128 VPU lanes per compositing op;
+        # results/perf/fuse_probe.json), so the raw interleaved pipeline
+        # stays the default.
+        self._fuse_composite = fuse_composite and not planar
         # MXU-schedule knob: rows per ray-blocked kernel grid step. Wider
         # blocks trade VMEM for matmul shape/pipeline depth (docs/PERF.md).
         self._block_samples = block_samples
+        # Inter-kernel intermediate dtype for the raw pipeline: bfloat16
+        # halves the [N, 4S] relayout + compositor-read HBM traffic.
+        self._raw_dtype = jnp.dtype(raw_dtype)
 
     @classmethod
     def is_available(cls) -> bool:
@@ -580,10 +643,13 @@ class PallasEngine(Engine):
         mcfg = self.cfg.model
         block_samples = self._block_samples
 
+        raw_dtype = self._raw_dtype
+
         def fn(params, ro, rd, near, far, spp):
             return fused_render_samples(
                 params, ro, rd, near, far, spp, mcfg,
                 block_samples=block_samples, interpret=interpret, raw=True,
+                raw_dtype=raw_dtype,
             )
 
         return fn
@@ -597,9 +663,12 @@ class PallasEngine(Engine):
         mcfg = self.cfg.model
         block_samples = self._block_samples
 
+        raw_dtype = self._raw_dtype
+
         def fn(params, ro, rd, z):
             return fused_render_zvals_raw(params, ro, rd, z, mcfg,
-                                          block_samples, interpret=interpret)
+                                          block_samples, interpret=interpret,
+                                          raw_dtype=raw_dtype)
 
         return fn
 
@@ -615,6 +684,59 @@ class PallasEngine(Engine):
         def fn(raw, z, rd, rcfg):
             return fused_volume_render_interleaved(raw, z, rd, rcfg,
                                                    interpret=interpret)
+
+        return fn
+
+    def composited_sample_eval_fn(self):
+        if not self._fuse_composite:
+            return None
+        from nerf_tpu.ops.render_kernel import (
+            composited_to_outputs,
+            fused_render_samples_composited,
+        )
+
+        interpret = self._interpret
+        mcfg = self.cfg.model
+        block_samples = self._block_samples
+
+        def fn(params, ro, rd, rcfg, spp, with_weights):
+            res = fused_render_samples_composited(
+                params, ro, rd, rcfg.near, rcfg.far, spp, mcfg,
+                block_samples=block_samples, interpret=interpret,
+                with_weights=with_weights,
+                sentinel=rcfg.dist_sentinel, eps=rcfg.transmittance_eps,
+            )
+            if with_weights:
+                out8, wts, z = res
+            else:
+                (out8, z), wts = res, None
+            return composited_to_outputs(out8, wts, rcfg), z
+
+        return fn
+
+    def composited_zvals_eval_fn(self):
+        if not self._fuse_composite:
+            return None
+        from nerf_tpu.ops.render_kernel import (
+            composited_to_outputs,
+            fused_render_zvals_composited,
+        )
+
+        interpret = self._interpret
+        mcfg = self.cfg.model
+        block_samples = self._block_samples
+
+        def fn(params, ro, rd, z, rcfg, with_weights):
+            res = fused_render_zvals_composited(
+                params, ro, rd, z, mcfg, block_samples, interpret=interpret,
+                with_weights=with_weights,
+                sentinel=rcfg.dist_sentinel, eps=rcfg.transmittance_eps,
+            )
+            if with_weights:
+                out8, wts = res
+            else:
+                out8, wts = res, None
+            return composited_to_outputs(out8, wts, rcfg)
 
         return fn
 
