@@ -25,7 +25,7 @@ import numpy as np
 
 from nerf_tpu.config import Config
 from nerf_tpu.render.engines import Engine, SharedModel, available_engines
-from nerf_tpu.utils.cameras import BENCHMARK_FOCAL, orbit_poses
+from nerf_tpu.utils.cameras import BENCHMARK_FOCAL, gate_poses, orbit_poses
 
 
 @dataclass
@@ -156,15 +156,19 @@ class UnifiedBenchmarkSuite:
         spp: int = 64,
         focal: float = BENCHMARK_FOCAL,
         reference_engine: str = "xla",
-        n_views: int = 2,
+        n_views: int = 4,
     ) -> Dict[str, Dict[str, float]]:
         """Cross-engine quality gate: PSNR/SSIM of every engine's render vs
-        the XLA engine's, scored over ``n_views`` orbit views at every
+        the XLA engine's, scored over ``n_views`` look-at-origin
+        ``gate_poses`` views (every view informative; round-4's outward
+        ``orbit_poses`` wasted ~half the views on empty space) at every
         resolution in ``resolutions`` — the quantitative version of the
         reference's 'memory vs accuracy trade-off' claim for its compressed
         renderer (``compressed_renderer.py:1-11``) and of its human-eyeball
         comparison grid (``compare_renderers.py``). Reports per-engine mean
-        and worst-case (min) PSNR/SSIM plus the per-cell values."""
+        and worst-case (min) PSNR/SSIM plus the per-cell values; the
+        unfiltered all-cells mean is reported alongside so aggregates stay
+        comparable across runs whose informative-cell sets differ."""
         import jax.numpy as jnp
 
         from nerf_tpu.utils.metrics import psnr, ssim
@@ -180,7 +184,7 @@ class UnifiedBenchmarkSuite:
                   "unavailable")
             self._quality = report
             return report
-        poses = orbit_poses(max(n_views, 2))[:n_views]
+        poses = gate_poses(n_views)
         cells = [(v, res) for res in resolutions for v in range(n_views)]
         refs = {}
         for v, res in cells:
@@ -213,14 +217,18 @@ class UnifiedBenchmarkSuite:
                         "psnr_db": p, "ssim": s,
                         "degenerate": degenerate[(v, res)],
                     }
+                all_psnrs = [c["psnr_db"] for c in per_cell.values()]
+                all_ssims = [c["ssim"] for c in per_cell.values()]
                 if not psnrs:  # every view empty: report raw, but say so
-                    psnrs = [c["psnr_db"] for c in per_cell.values()]
-                    ssims = [c["ssim"] for c in per_cell.values()]
+                    psnrs, ssims = all_psnrs, all_ssims
                 report[name] = {
                     "psnr_db": float(np.mean(psnrs)),
                     "psnr_db_min": float(np.min(psnrs)),
                     "ssim": float(np.mean(ssims)),
                     "ssim_min": float(np.min(ssims)),
+                    # unfiltered companions (comparability across runs)
+                    "psnr_db_all_cells": float(np.mean(all_psnrs)),
+                    "ssim_all_cells": float(np.mean(all_ssims)),
                     "cells_aggregated": len(psnrs),
                     "cells": per_cell,  # type: ignore
                 }
@@ -243,7 +251,7 @@ class UnifiedBenchmarkSuite:
         spps: Sequence[int] = (16, 32, 64, 128),
         focal: float = BENCHMARK_FOCAL,
         gt_engine: str = "xla",
-        n_views: int = 2,
+        n_views: int = 4,
         engines: Optional[Sequence[str]] = None,
     ) -> Dict[str, Dict[str, Dict[str, float]]]:
         """Ground-truth-anchored quality/efficiency gate: render ``gt_engine``
@@ -260,7 +268,7 @@ class UnifiedBenchmarkSuite:
 
         from nerf_tpu.utils.metrics import psnr, ssim
 
-        poses = orbit_poses(max(n_views, 2))[:n_views]
+        poses = gate_poses(n_views)
         gts = [
             self.engines[gt_engine].render_image(
                 poses[v], resolution, gt_spp, focal=focal, monitor=False

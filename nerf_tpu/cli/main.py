@@ -134,6 +134,9 @@ def _train_distributed(args, cfg, train_ds, img_hw) -> int:
 
     n_views = train_ds.images.shape[0]
     n_steps = args.streaming_steps or args.epochs * n_views
+    if n_steps <= 0:
+        raise SystemExit("distributed training needs n_steps > 0 "
+                         "(set --epochs or --streaming_steps)")
     key = jax.random.PRNGKey(1)  # same on every host: replicated inputs
     focal = jnp.float32(train_ds.focal)
     loss = float("nan")
@@ -177,7 +180,7 @@ def cmd_benchmark(args) -> int:
     if getattr(args, "gt_gate", False) and "xla" in suite.engines:
         suite.gt_quality_report(
             resolution=(400, 300), gt_spp=args.gt_spp,
-            spps=(16, 32, 64, 128), n_views=2,
+            spps=(16, 32, 64, 128), n_views=4,
         )
     paths = suite.generate_report()
     for k, v in paths.items():

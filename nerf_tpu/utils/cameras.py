@@ -71,6 +71,22 @@ def orbit_poses(n_views: int, radius: float = 4.0) -> np.ndarray:
     return poses
 
 
+def gate_poses(
+    n_views: int, radius: float = 4.0, phi_deg: float = -30.0
+) -> np.ndarray:
+    """Quality-gate poses: a ``spherical_pose`` azimuth orbit LOOKING AT the
+    origin from elevation ``phi_deg`` — every view sees the object, unlike
+    ``orbit_poses`` whose outward-facing cameras waste ~half the views on
+    empty space (they exist for reference benchmark parity,
+    ``benchmark_suite.py:132-149``; the round-4 gates had to exclude those
+    views as degenerate, leaving single-view aggregates). Azimuths avoid 0/90
+    multiples so no view is axis-aligned. Returns ``[n_views, 4, 4]``."""
+    return np.stack([
+        spherical_pose(30.0 + 360.0 * k / max(n_views, 1), phi_deg, radius)
+        for k in range(n_views)
+    ])
+
+
 def spherical_pose(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
     """Blender-style look-at-origin spherical pose (azimuth ``theta``,
     elevation ``phi``, distance ``radius``) — the pose family the lego
