@@ -34,7 +34,9 @@ from nerf_tpu.utils.rendering import sample_pdf
 
 
 class OccupancyGrid(NamedTuple):
-    occupancy: jnp.ndarray   # [G^3] float32 in {0, 1} (flat, x-major)
+    occupancy: jnp.ndarray   # [G^3] float32 (flat, x-major): {0, 1} when
+                             # baked with store="binary", raw relu(sigma)
+                             # with store="density"
     aabb_lo: jnp.ndarray     # [3]
     aabb_hi: jnp.ndarray     # [3]
     resolution: int
@@ -49,10 +51,14 @@ def build_occupancy_grid(
     apply_fn=apply_nerf,
     chunk: int = 1 << 18,
     compute_dtype=jnp.bfloat16,
+    store: str = "binary",
 ) -> OccupancyGrid:
-    """Bake a boolean occupancy grid by evaluating the model's density at
-    every cell center (one dense pass; ~2M evaluations at G=128 — a fraction
-    of a single frame's cost). Density is thresholded post-ReLU."""
+    """Bake an occupancy grid by evaluating the model's density at every
+    cell center (one dense pass; ~2M evaluations at G=128 — a fraction of a
+    single frame's cost). ``store="binary"`` thresholds post-ReLU density
+    to {0, 1}; ``store="density"`` keeps relu(sigma) itself, enabling the
+    alpha/transmittance probe weightings in ``grid_guided_z_vals`` (the
+    baked-grid analog of a coarse network pass)."""
     g = resolution
     lo, hi = float(aabb[0]), float(aabb[1])
     centers = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g * (hi - lo) + lo
@@ -70,7 +76,10 @@ def build_occupancy_grid(
     for i in range(0, n, chunk):
         occ.append(eval_chunk(pts[i : i + chunk]))
     sigma = jnp.concatenate(occ)
-    occupancy = (sigma > density_threshold).astype(jnp.float32)
+    if store == "density":
+        occupancy = sigma.astype(jnp.float32)
+    else:
+        occupancy = (sigma > density_threshold).astype(jnp.float32)
     return OccupancyGrid(
         occupancy=occupancy,
         aabb_lo=jnp.full((3,), lo),
@@ -123,6 +132,7 @@ def grid_guided_z_vals(
     key: Optional[jax.Array] = None,
     floor: float = 1e-3,
     ray_stride: int = 1,
+    weight_mode: str = "occupancy",
 ) -> jnp.ndarray:
     """Place ``n_samples`` depths per ray, concentrated where the occupancy
     grid says the scene is. ``n_probe`` uniform gather-probes per ray build a
@@ -155,7 +165,30 @@ def grid_guided_z_vals(
     z_probe = jnp.broadcast_to(z_probe_row, (n_groups, n_probe))
     pts = ro_p[:, None, :] + rd_p[:, None, :] * z_probe[..., None]
     occ = query_occupancy(grid, pts)                        # [N/stride, P]
-    weights = occ + floor
+    if weight_mode == "occupancy":
+        # binary grids: flat pdf over occupied probe segments
+        weights = occ + floor
+    else:
+        # density-stored grids (store="density"): treat each probe segment
+        # as a fat sample of the baked field. "alpha" concentrates on
+        # opacity; "transmittance" additionally discounts by the exclusive
+        # transmittance along the probes — the true volume-rendering weight
+        # at probe resolution, i.e. a coarse NeRF pass priced at a memory
+        # gather instead of an MLP evaluation (reference coarse pass
+        # semantics, ``trainer.py:294-316``, from the cache instead of the
+        # network).
+        dz = (far - near) / n_probe * jnp.linalg.norm(
+            rd_p, axis=-1, keepdims=True)                   # [N/stride, 1]
+        alpha = 1.0 - jnp.exp(-occ * dz)
+        if weight_mode == "alpha":
+            weights = alpha + floor
+        elif weight_mode == "transmittance":
+            log_t = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+            t_excl = jnp.exp(
+                jnp.cumsum(log_t, axis=-1) - log_t)         # exclusive
+            weights = alpha * t_excl + floor
+        else:
+            raise ValueError(f"unknown weight_mode {weight_mode!r}")
     if key is None:
         # deterministic quantiles + shared group weights -> identical z per
         # group, so invert the CDF once per group and repeat; quantiles are

@@ -809,7 +809,9 @@ class AccelEngine(PallasEngine):
                  aabb: Optional[Tuple[float, float]] = None,
                  n_probe: Optional[int] = None,
                  probe_resolution: Optional[int] = None,
-                 probe_ray_stride: Optional[int] = None, **kw):
+                 probe_ray_stride: Optional[int] = None,
+                 grid_store: Optional[str] = None,
+                 weight_mode: Optional[str] = None, **kw):
         super().__init__(shared, chunk_rays, **kw)
         # scene constants come from Config.accel (per-scene, checkpointable);
         # constructor args are overrides for experimentation
@@ -829,6 +831,10 @@ class AccelEngine(PallasEngine):
             probe_ray_stride if probe_ray_stride is not None
             else getattr(acfg, "probe_ray_stride", 1)
         )
+        self.grid_store = grid_store or getattr(acfg, "grid_store", "binary")
+        self.weight_mode = (
+            weight_mode or getattr(acfg, "weight_mode", "occupancy")
+        )
         self._grid = None
 
     def occupancy_grid(self):
@@ -845,6 +851,7 @@ class AccelEngine(PallasEngine):
                 resolution=self.grid_resolution,
                 aabb=self.aabb,
                 density_threshold=self.density_threshold,
+                store=self.grid_store,
             )
             if self.probe_resolution and self.probe_resolution < grid.resolution:
                 # probe a dilated mip: fewer probes per ray can't miss
@@ -861,11 +868,12 @@ class AccelEngine(PallasEngine):
         grid = self.occupancy_grid()
         n_probe = self.n_probe
         stride = self.probe_ray_stride
+        weight_mode = self.weight_mode
 
         def fn(ro, rd, spp, rcfg):
             return grid_guided_z_vals(
                 grid, ro, rd, rcfg.near, rcfg.far, spp, n_probe=n_probe,
-                ray_stride=stride,
+                ray_stride=stride, weight_mode=weight_mode,
             )
 
         return fn

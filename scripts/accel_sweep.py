@@ -1,11 +1,12 @@
-"""Accel-engine probe sweep: ground-truth quality vs throughput across
-(probe_resolution, n_probe) at small sample budgets.
+"""Accel-engine sweep v2: ground-truth quality vs throughput across BOTH
+the probe-cost levers (probe_resolution, n_probe, ray stride — round 4) and
+the quality-side levers the round-4 VERDICT flagged as unprobed: grid 256
+with a 128 mip, and probe pdfs weighted by the BAKED DENSITY instead of
+binary occupancy ("alpha" / "transmittance" weight modes — the latter is a
+coarse NeRF pass priced at a memory gather, ``ops/occupancy.py``).
 
-The committed GT gate (results/benchmark) showed accel@16 reaches uniform-64
-quality, but its z-sampler (XLA grid gathers) costs ~2x the 16-spp MLP work,
-so pallas@64 still wins net rays/s at that quality. This sweep prices the
-probe-side levers: a dilated occupancy mip (``downsample_grid``) lets fewer
-probes cover the scene conservatively. Writes results/perf/accel_sweep.json.
+Scored on look-at-origin gate poses (mean of 2 informative views).
+Writes results/perf/accel_sweep.json.
 """
 
 import argparse
@@ -39,7 +40,7 @@ def main():
         SharedModel,
         XLAEngine,
     )
-    from nerf_tpu.utils.cameras import BENCHMARK_FOCAL, orbit_poses
+    from nerf_tpu.utils.cameras import gate_poses
     from nerf_tpu.utils.metrics import psnr
 
     W, H = (int(v) for v in args.resolution.split("x"))
@@ -47,40 +48,51 @@ def main():
     shared = SharedModel(bmild_config()).load(
         "/root/reference/data/lego_example_weights/model_fine_200000.npy"
     )
-    pose = orbit_poses(2)[0]     # the suite's view 0 (the informative one)
+    poses = gate_poses(2)        # look-at-origin: every view informative
 
     print("rendering ground truth...", file=sys.stderr, flush=True)
-    gt = XLAEngine(shared).render_image(
-        pose, (W, H), args.gt_spp, monitor=False
-    ).rgb
+    gts = [XLAEngine(shared).render_image(
+        p, (W, H), args.gt_spp, monitor=False).rgb for p in poses]
 
     def score(engine, spp):
-        engine.render_image(pose, (W, H), spp, monitor=False)   # warm
-        times = []
-        for _ in range(args.frames):
-            r = engine.render_image(pose, (W, H), spp)
-            times.append(r.stats.wall_time_s)
+        engine.render_image(poses[0], (W, H), spp, monitor=False)   # warm
+        psnrs, times = [], []
+        for v, pose in enumerate(poses):
+            for _ in range(args.frames):
+                r = engine.render_image(pose, (W, H), spp)
+                times.append(r.stats.wall_time_s)
+            psnrs.append(float(psnr(jnp.asarray(r.rgb),
+                                    jnp.asarray(gts[v]))))
         t = sorted(times)[len(times) // 2]
-        p = float(psnr(jnp.asarray(r.rgb), jnp.asarray(gt)))
-        return {"psnr_db_vs_gt": p, "rays_per_second": W * H / t,
+        return {"psnr_db_vs_gt": float(np.mean(psnrs)),
+                "psnr_db_per_view": [round(p, 2) for p in psnrs],
+                "rays_per_second": W * H / t,
                 "frame_ms": t * 1e3}
 
     rows = []
-    # uniform baselines at the same budgets + the quality-matched pallas@64
+    # uniform baselines at the same budgets + quality-matched pallas points
     pallas = PallasEngine(shared)
-    for spp in sorted(set(spps + [64])):
+    for spp in sorted(set(spps + [64, 128])):
         row = {"engine": "pallas", "spp": spp, **score(pallas, spp)}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
     grid_variants = [
-        {"probe_resolution": 0, "n_probe": 128,      # original full-grid
-         "probe_ray_stride": 1},                     # baseline
-        {"probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 1},
+        # round-4 probe-cost winners (binary occupancy)
         {"probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 4},
-        {"probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 8},
-        {"probe_resolution": 32, "n_probe": 48, "probe_ray_stride": 4},
-        {"probe_resolution": 32, "n_probe": 48, "probe_ray_stride": 8},
+        # quality-side levers (VERDICT r4 task 5)
+        {"grid_resolution": 256, "probe_resolution": 128, "n_probe": 128,
+         "probe_ray_stride": 4},
+        {"grid_store": "density", "weight_mode": "transmittance",
+         "probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 4},
+        {"grid_store": "density", "weight_mode": "alpha",
+         "probe_resolution": 64, "n_probe": 96, "probe_ray_stride": 4},
+        {"grid_resolution": 256, "grid_store": "density",
+         "weight_mode": "transmittance", "probe_resolution": 128,
+         "n_probe": 128, "probe_ray_stride": 4},
+        {"grid_resolution": 256, "grid_store": "density",
+         "weight_mode": "transmittance", "probe_resolution": 0,
+         "n_probe": 192, "probe_ray_stride": 4},
     ]
     for gv in grid_variants:
         engine = AccelEngine(shared, **gv)
@@ -99,7 +111,8 @@ def main():
             "resolution": args.resolution, "gt_spp": args.gt_spp,
             "gt_engine": "xla", "frames": args.frames,
             "device": str(jax.devices()[0]),
-            "view": "orbit view 0", "weights": "bundled bmild lego",
+            "views": "gate_poses(2) look-at-origin, mean PSNR",
+            "weights": "bundled bmild lego",
         },
         "rows": rows,
     }

@@ -163,3 +163,60 @@ def test_accel_engine_beats_uniform_at_same_budget():
     assert p_acc > p_uni - 0.5, (
         f"accel ({p_acc:.1f} dB) worse than uniform ({p_uni:.1f} dB) at spp={spp}"
     )
+
+
+@pytest.fixture(scope="module")
+def lego_density_grid():
+    params = load_bmild_weights(BMILD_WEIGHTS)
+    cfg = bmild_config().model
+    return build_occupancy_grid(
+        params, cfg, resolution=48, compute_dtype=jnp.float32,
+        store="density",
+    )
+
+
+def test_density_grid_stores_raw_sigma(lego_density_grid, lego_grid):
+    dens = np.asarray(lego_density_grid.occupancy)
+    assert dens.min() >= 0.0
+    assert dens.max() > 5.0, "lego interior should exceed the threshold"
+    # thresholding the density grid reproduces the binary grid
+    np.testing.assert_array_equal(
+        (dens > 5.0).astype(np.float32), np.asarray(lego_grid.occupancy)
+    )
+
+
+def test_transmittance_weights_concentrate_at_first_surface(
+    lego_density_grid,
+):
+    """weight_mode='transmittance' is a coarse pass from the cache: its
+    samples should sit at the FIRST occupied region along the ray, not
+    spread over the whole occupied column like the binary pdf."""
+    ro = jnp.asarray([[0.0, 0.0, 4.0]])
+    rd = jnp.asarray([[0.0, 0.0, -1.0]])
+    z_t = grid_guided_z_vals(lego_density_grid, ro, rd, 2.0, 6.0, 32,
+                             n_probe=96, weight_mode="transmittance")
+    z_a = grid_guided_z_vals(lego_density_grid, ro, rd, 2.0, 6.0, 32,
+                             n_probe=96, weight_mode="alpha")
+    # sorted and in range
+    for z in (z_t, z_a):
+        assert float(jnp.min(jnp.diff(z, axis=-1))) >= 0.0
+        assert float(z.min()) >= 2.0 and float(z.max()) <= 6.0
+    # transmittance-weighted samples terminate no deeper than
+    # alpha-weighted ones (later occupied cells are discounted)
+    assert float(jnp.median(z_t)) <= float(jnp.median(z_a)) + 1e-6
+
+
+def test_weight_modes_through_engine():
+    """AccelEngine(grid_store='density', weight_mode='transmittance')
+    renders a sane frame through the full pipeline (interpret mode)."""
+    from nerf_tpu.render.engines import AccelEngine, SharedModel
+    from nerf_tpu.utils.cameras import spherical_pose
+
+    shared = SharedModel(bmild_config()).load(BMILD_WEIGHTS)
+    eng = AccelEngine(shared, chunk_rays=512, grid_resolution=32,
+                      probe_resolution=0, n_probe=32, probe_ray_stride=1,
+                      grid_store="density", weight_mode="transmittance")
+    res = eng.render_image(spherical_pose(30.0, -30.0, 4.0), (16, 12), 8,
+                           monitor=False)
+    assert np.isfinite(res.rgb).all()
+    assert res.rgb.std() > 0.01
