@@ -36,7 +36,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BMILD = "/root/reference/data/lego_example_weights/model_fine_200000.npy"
-ENGINES = ["xla", "pallas", "compressed", "int8", "accel"]
+# pallas_fused = PallasEngine(fuse_composite=True), the opt-in in-kernel
+# compositing path (results/perf/fuse_probe.json) — gated here so the
+# opt-in cannot silently rot into a lowering hang
+ENGINES = ["xla", "pallas", "pallas_fused", "compressed", "int8", "accel"]
 MODES = ["benchmark", "hierarchical"]
 
 
@@ -56,7 +59,10 @@ def run_cell(engine: str, mode: str, spp: int, width: int, height: int) -> int:
     cfg, ckpt = (bmild_config(), BMILD) if os.path.exists(BMILD) else (
         default_config(), None)
     shared = SharedModel(cfg).load(ckpt)
-    eng = ENGINE_CLASSES[engine](shared)
+    if engine == "pallas_fused":
+        eng = ENGINE_CLASSES["pallas"](shared, fuse_composite=True)
+    else:
+        eng = ENGINE_CLASSES[engine](shared)
 
     t0 = time.time()
     out = eng.render_image(_pose(), (width, height), spp,

@@ -25,6 +25,12 @@ def main():
                     help="scan length for the multi-step variant")
     ap.add_argument("--out", default="results/perf/train_speed.json",
                     help="JSON artifact path ('' to skip)")
+    ap.add_argument("--batch_sweep", default="2048,8192,32768",
+                    help="n_rays sweep ('' to skip): steps/s + rays/s per "
+                         "batch size, plus an equal-ray-budget convergence "
+                         "check on the procedural scene")
+    ap.add_argument("--budget_rays", type=int, default=4_000_000,
+                    help="total rays for the convergence-neutrality check")
     args = ap.parse_args()
 
     from nerf_tpu.utils.cache import enable_compilation_cache
@@ -93,6 +99,71 @@ def main():
     print(f"scan x{args.inner}:      {per*1e3:.1f} ms/step "
           f"({1/per:.1f} steps/s) amortized", flush=True)
 
+    batch_rows = []
+    if args.batch_sweep:
+        import dataclasses
+
+        from nerf_tpu.data.synthetic import make_procedural_dataset
+        from nerf_tpu.render.pipeline import render_rays
+        from nerf_tpu.utils.cameras import generate_rays
+        from nerf_tpu.utils.metrics import psnr as psnr_fn
+
+        # the batch-size lever a pod-slice user pulls: rays/step up, along
+        # with an equal-ray-budget convergence check (does the larger batch
+        # buy throughput without costing sample efficiency?)
+        hw = 64
+        train_ds = make_procedural_dataset(n_views=20, img_wh=(hw, hw),
+                                           seed=0)
+        val_ds = make_procedural_dataset(n_views=1, img_wh=(hw, hw), seed=1,
+                                         split="val")
+        vimg = jnp.asarray(val_ds.images[0])
+        vpose = jnp.asarray(val_ds.poses[0])
+
+        for n_rays in [int(v) for v in args.batch_sweep.split(",")]:
+            cfg_b = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, n_rays=n_rays))
+            apply_b = default_train_apply_fn(cfg_b)
+            st = init_train_state(jax.random.PRNGKey(0), cfg_b)
+            step_b = make_train_step(cfg_b, (hw, hw), apply_b, donate=True)
+            n_steps = max(1, args.budget_rays // n_rays)
+
+            k = jax.random.PRNGKey(2)
+            st, m = step_b(st, jnp.asarray(train_ds.images[0]),
+                           jnp.asarray(train_ds.poses[0]),
+                           jnp.float32(train_ds.focal), k)
+            float(m["loss"])                          # compile + warm
+            t0 = time.time()
+            for i in range(n_steps):
+                v = i % train_ds.images.shape[0]
+                st, m = step_b(st, jnp.asarray(train_ds.images[v]),
+                               jnp.asarray(train_ds.poses[v]),
+                               jnp.float32(train_ds.focal),
+                               jax.random.fold_in(k, i))
+            loss = float(m["loss"])                   # sync once at the end
+            dt = time.time() - t0
+
+            # held-out view PSNR at the equal-ray budget
+            ro, rd = generate_rays(vpose, hw, hw, float(train_ds.focal))
+            out = render_rays(st.params["coarse"], st.params["fine"],
+                              ro.reshape(-1, 3), rd.reshape(-1, 3),
+                              cfg_b.model, cfg_b.render, key=None,
+                              perturb=False)
+            pred = out.fine.rgb.reshape(hw, hw, 3)
+            val_psnr = float(psnr_fn(pred, vimg))
+            row = {
+                "n_rays": n_rays, "steps": n_steps,
+                "ms_per_step": dt / n_steps * 1e3,
+                "steps_per_second": n_steps / dt,
+                "rays_per_second": n_steps * n_rays / dt,
+                "final_loss": loss,
+                "val_psnr_db_at_equal_ray_budget": val_psnr,
+            }
+            batch_rows.append(row)
+            print(f"n_rays={n_rays}: {row['ms_per_step']:.1f} ms/step, "
+                  f"{row['rays_per_second']:,.0f} rays/s, "
+                  f"val {val_psnr:.2f} dB @ {args.budget_rays:,} rays",
+                  flush=True)
+
     if args.out:
         import json
         import os
@@ -116,6 +187,13 @@ def main():
                     "inner": args.inner,
                     "ms_per_step": per * 1e3,
                     "steps_per_second": 1 / per,
+                },
+                "batch_scaling": {
+                    "note": "procedural 64x64 scene; equal total-ray budget "
+                            "per row, so val PSNR compares sample "
+                            "efficiency across batch sizes",
+                    "budget_rays": args.budget_rays,
+                    "rows": batch_rows,
                 },
             }, f, indent=2)
         print(f"wrote {args.out}", file=sys.stderr)
