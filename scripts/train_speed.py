@@ -25,11 +25,14 @@ def main():
                     help="scan length for the multi-step variant")
     ap.add_argument("--out", default="results/perf/train_speed.json",
                     help="JSON artifact path ('' to skip)")
-    ap.add_argument("--batch_sweep", default="2048,8192,32768",
+    ap.add_argument("--batch_sweep", default="2048,8192,16384",
                     help="n_rays sweep ('' to skip): steps/s + rays/s per "
                          "batch size, plus an equal-ray-budget convergence "
-                         "check on the procedural scene")
-    ap.add_argument("--budget_rays", type=int, default=4_000_000,
+                         "check on the procedural scene. (32768 is omitted "
+                         "from the default: its train-step compile did not "
+                         "complete in 25 min through the tunnel — recorded "
+                         "in the artifact note.)")
+    ap.add_argument("--budget_rays", type=int, default=8_000_000,
                     help="total rays for the convergence-neutrality check")
     args = ap.parse_args()
 
@@ -111,7 +114,7 @@ def main():
         # the batch-size lever a pod-slice user pulls: rays/step up, along
         # with an equal-ray-budget convergence check (does the larger batch
         # buy throughput without costing sample efficiency?)
-        hw = 64
+        hw = 128
         train_ds = make_procedural_dataset(n_views=20, img_wh=(hw, hw),
                                            seed=0)
         val_ds = make_procedural_dataset(n_views=1, img_wh=(hw, hw), seed=1,
@@ -189,9 +192,12 @@ def main():
                     "steps_per_second": 1 / per,
                 },
                 "batch_scaling": {
-                    "note": "procedural 64x64 scene; equal total-ray budget "
-                            "per row, so val PSNR compares sample "
-                            "efficiency across batch sizes",
+                    "note": "procedural 128x128 scene; equal total-ray "
+                            "budget per row, so val PSNR compares sample "
+                            "efficiency across batch sizes. n_rays=32768 "
+                            "omitted: its train-step compile did not "
+                            "complete in 25 min through the tunnel "
+                            "(2048/8192/16384 compile in 2-6 min).",
                     "budget_rays": args.budget_rays,
                     "rows": batch_rows,
                 },
