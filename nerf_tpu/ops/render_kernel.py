@@ -110,6 +110,22 @@ def _write_planar(out_refs, sigma, rgb, n_rays: int, n_samples: int):
     b_ref[:] = to_plane(rgb[:, 2:3])
 
 
+def _hilo_expand(sel: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-to-~2^-16 one-hot expansion ``sel [B, R] @ x [R, C]`` in two
+    default-precision passes. TPU's default f32 matmul is a single bf16
+    pass, so a one-hot expansion silently rounds its payload to bf16; both
+    split operands here are bf16-exact (``bf16(x)`` and the bf16 rounding
+    of the residual), so the sum reconstructs x to ~2^-16 relative — at a
+    third of HIGHEST's 6-pass cost, which is what matters on these tiny
+    latency-bound matmuls (HIGHEST on the o/d expansion measured 7% of the
+    800x600@64 frame)."""
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return (
+        jnp.dot(sel, x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(sel, x - x_hi, preferred_element_type=jnp.float32)
+    )
+
+
 def _segmented_cumsum_excl(x: jnp.ndarray, seg: int) -> jnp.ndarray:
     """Exclusive prefix sum of ``x [B, C]`` within contiguous length-``seg``
     segments along axis 0 (``B % seg == 0``), as a Hillis-Steele doubling
@@ -212,7 +228,15 @@ def _ray_kernel(
     sel = (row // S == col).astype(jnp.float32)    # [B, R_b] one-hot ray id
 
     od = jnp.concatenate([o, d], axis=1)           # [R_b, 6]
-    od_rep = jnp.dot(sel, od, preferred_element_type=jnp.float32)
+    # Hi/lo-split expansion: the default one-hot expansion is a single bf16
+    # pass that rounds ray origins/directions to bf16 BEFORE the positional
+    # encoding — at the top band (2^9) that is ~2 rad of phase error,
+    # measured as the entire 25 dB pallas-vs-xla quality gap on
+    # object-dense views (round-5 fastmath probe, fuse_probe.json). Both
+    # split matmuls move bf16-exact payloads, reconstructing o/d to ~2^-16
+    # relative (0.02 rad at the top band) in 2 passes — HIGHEST's 6 passes
+    # on this tiny latency-bound matmul cost 7% of the frame, measured.
+    od_rep = _hilo_expand(sel, od)
     o_rep, d_rep = od_rep[:, :3], od_rep[:, 3:]
 
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) % S
@@ -455,26 +479,20 @@ def _ray_z_kernel(
     sel = (row // S == col).astype(jnp.float32)
 
     od = jnp.concatenate([o, d], axis=1)           # [R_b, 6]
-    od_rep = jnp.dot(sel, od, preferred_element_type=jnp.float32)
+    # hi/lo-split expansion — see _ray_kernel (default's single bf16 pass
+    # rounds positions before the encoding; measured 25 dB gate cost)
+    od_rep = _hilo_expand(sel, od)
     o_rep, d_rep = od_rep[:, :3], od_rep[:, 3:]
 
     zrow = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
     zcol = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
     onehot_s = (zrow % S == zcol).astype(jnp.float32)
-    if composited:
-        # compositing differences adjacent z's, and the default one-hot
-        # gather rounds z to bf16 (abs ~2^-9 * z) — comparable to the diffs
-        # themselves. Hi/lo-split gather: both default-precision matmuls move
-        # bf16-exact payloads (1.0 * bf16(z) and 1.0 * bf16(z - bf16(z))),
-        # reconstructing z to ~2^-16 relative at 2 bf16 passes instead of
-        # HIGHEST's 6.
-        z_hi = z.astype(jnp.bfloat16).astype(jnp.float32)
-        z_rep = (
-            jnp.dot(sel, z_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(sel, z - z_hi, preferred_element_type=jnp.float32)
-        )
-    else:
-        z_rep = jnp.dot(sel, z, preferred_element_type=jnp.float32)  # [B, S]
+    # Hi/lo-split gather (ALL paths, round 5): the default one-hot gather
+    # rounds z to bf16 (abs ~2^-9 * z) — sample positions then carry the
+    # same top-band posenc phase error as the o/d expansion above, and the
+    # composited path's adjacent-z diffs are comparable to the error
+    # itself.
+    z_rep = _hilo_expand(sel, z)                                  # [B, S]
     z_col = jnp.sum(z_rep * onehot_s, axis=1, keepdims=True)      # [B, 1]
 
     pos = o_rep + d_rep * z_col
