@@ -106,24 +106,25 @@ class AccelConfig:
                                       # (results/perf/accel_sweep.json):
                                       # 64/96 beats the full-grid/128 probe
                                       # baseline on BOTH quality and speed
-    grid_store: str = "binary"        # "binary" = thresholded {0,1} cells;
+    grid_store: str = "density"       # "binary" = thresholded {0,1} cells;
                                       # "density" = raw relu(sigma), enables
                                       # the alpha/transmittance weightings
-    weight_mode: str = "occupancy"    # probe-pdf weighting: "occupancy"
-                                      # (flat over occupied), "alpha", or
-                                      # "transmittance" (coarse-pass analog
-                                      # from the baked grid; needs
-                                      # grid_store="density"). Round-5 sweep
-                                      # (accel_sweep.json): transmittance at
-                                      # FULL grid resolution is the best
-                                      # low-spp placement (+0.8 dB @16 over
-                                      # binary) but needs probe_resolution=0
-                                      # — a max-pooled mip inflates
-                                      # near-field alpha and starves the
-                                      # true surface (15.9 dB). Defaults
-                                      # stay binary+mip (CPU-test-friendly
-                                      # bake); quality mode: grid 256,
-                                      # store density, transmittance, mip 0,
+    weight_mode: str = "alpha"        # probe-pdf weighting: "occupancy"
+                                      # (flat over occupied cells, binary
+                                      # grids), "alpha" (per-segment
+                                      # opacity), or "transmittance" (the
+                                      # full coarse-pass analog from the
+                                      # baked grid). Round-5 sweep
+                                      # (accel_sweep.json): density+alpha
+                                      # dominates binary at identical cost
+                                      # (+0.4-1.4 dB at every spp) -> the
+                                      # default. Transmittance is the
+                                      # quality champion (27.96 dB @64) but
+                                      # ONLY with probe_resolution=0 — a
+                                      # max-pooled mip inflates near-field
+                                      # alpha and shadows the true surface
+                                      # (16-24 dB, measured); quality mode:
+                                      # grid 256, transmittance, mip 0,
                                       # n_probe 192.
     probe_ray_stride: int = 4         # probe every k-th ray and share the
                                       # occupancy profile with its scanline
