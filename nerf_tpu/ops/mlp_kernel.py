@@ -294,7 +294,19 @@ def _encode(x3_f32, f, L, pad_to, fast_sin=False):
     identity cos(2p) = 1 - 2 sin(p)^2 — an elementwise fma instead of a
     second transcendental sweep. ``fast_sin`` swaps the native sine for the
     bf16-grade polynomial (enabled when the compute dtype is bf16)."""
-    p = jnp.dot(x3_f32, f, preferred_element_type=jnp.float32)
+    # Hi/lo-split phase matmul: the default f32 dot is a single bf16 pass,
+    # i.e. it rounds the coordinates to bf16 before scaling by the
+    # frequencies — at the top octave (2^9) that is ~1.5 rad of phase
+    # error, measured as a 36.8 dB ceiling against a true-f32 render while
+    # the XLA engine (elementwise phase scaling) sits at 62 dB
+    # (fuse_probe.json fastmath_probe). The frequency matrix is exactly
+    # bf16-representable and both split payloads are bf16-exact, so two
+    # passes of this tiny K=3 matmul reconstruct the phases to ~2^-16.
+    x_hi = x3_f32.astype(jnp.bfloat16).astype(jnp.float32)
+    p = (
+        jnp.dot(x_hi, f, preferred_element_type=jnp.float32)
+        + jnp.dot(x3_f32 - x_hi, f, preferred_element_type=jnp.float32)
+    )
     s = _fast_sin(p) if fast_sin else jnp.sin(p)
     c = 1.0 - 2.0 * s * s
     zeros = jnp.zeros((x3_f32.shape[0], pad_to - (3 + 6 * (L + 1))), jnp.float32)

@@ -54,7 +54,7 @@ def test_composited_uniform_matches_xla(setup):
     got = composited_to_outputs(out8, wts, rcfg)
     np.testing.assert_allclose(np.asarray(zk), np.asarray(z), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(ref.rgb),
-                               atol=1e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth),
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(wts), np.asarray(ref.weights),
@@ -74,7 +74,7 @@ def test_composited_zvals_matches_xla(setup):
     )
     got = composited_to_outputs(out8, wts, rcfg)
     np.testing.assert_allclose(np.asarray(got.rgb), np.asarray(ref.rgb),
-                               atol=1e-5)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth),
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(wts), np.asarray(ref.weights),
