@@ -303,10 +303,9 @@ def _encode(x3_f32, f, L, pad_to, fast_sin=False):
     # bf16-representable and both split payloads are bf16-exact, so two
     # passes of this tiny K=3 matmul reconstruct the phases to ~2^-16.
     x_hi = x3_f32.astype(jnp.bfloat16).astype(jnp.float32)
-    p = (
-        jnp.dot(x_hi, f, preferred_element_type=jnp.float32)
-        + jnp.dot(x3_f32 - x_hi, f, preferred_element_type=jnp.float32)
-    )
+    x_split = jnp.concatenate([x_hi, x3_f32 - x_hi], axis=1)   # [B, 6]
+    f2 = jnp.concatenate([f, f], axis=0)                       # [6, F]
+    p = jnp.dot(x_split, f2, preferred_element_type=jnp.float32)
     s = _fast_sin(p) if fast_sin else jnp.sin(p)
     c = 1.0 - 2.0 * s * s
     zeros = jnp.zeros((x3_f32.shape[0], pad_to - (3 + 6 * (L + 1))), jnp.float32)

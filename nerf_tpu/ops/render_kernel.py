@@ -120,10 +120,13 @@ def _hilo_expand(sel: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     latency-bound matmuls (HIGHEST on the o/d expansion measured 7% of the
     800x600@64 frame)."""
     x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    return (
-        jnp.dot(sel, x_hi, preferred_element_type=jnp.float32)
-        + jnp.dot(sel, x - x_hi, preferred_element_type=jnp.float32)
-    )
+    # one stacked matmul (K doubled) instead of two: each product is still
+    # an exact 1.0 * bf16-payload term and the f32 accumulation now simply
+    # meets both halves in the same pass — measurably cheaper than two
+    # launches of a skinny latency-bound matmul (same trick as _encode)
+    sel2 = jnp.concatenate([sel, sel], axis=1)           # [B, 2R]
+    x2 = jnp.concatenate([x_hi, x - x_hi], axis=0)       # [2R, C]
+    return jnp.dot(sel2, x2, preferred_element_type=jnp.float32)
 
 
 def _segmented_cumsum_excl(x: jnp.ndarray, seg: int) -> jnp.ndarray:
